@@ -1,0 +1,373 @@
+"""Zstd encoder.
+
+Behavioral reference: RFC 8878 (format) and C/zstd/zstd_compress.c
+(ZSTD_compressBlock_internal:4383 = ZSTD_buildSeqStore +
+ZSTD_entropyCompressSeqStore_internal), zstd_compress_sequences.c:419
+(ZSTD_encodeSequences). Written from the spec; the parse is free to
+differ from the reference (any valid parse decodes bit-exactly — the
+reference's own regression suite only pins decoded bytes).
+
+TPU-first design:
+- match finding: vectorized hash/sort candidate search + widening
+  match-length passes + pointer-doubling greedy parse (shared design with
+  models/lz4/block.py; device twin in tpu7z.ops).
+- literals: package-merge optimal length-limited Huffman, 4 independent
+  streams packed with the vectorized bit packer.
+- sequences: FSE with per-block normalized tables (or predefined/RLE
+  modes when smaller); the interleaved-state stream is emitted as
+  (value, nbits) arrays and packed in one vectorized pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...ops.bitstream import pack_bits_lsb
+from ...ops.hashing import xxh64_fast as _xxh64
+from ...utils.errors import ParamError
+from ..lz4 import block as lz4block
+from . import fse, huffman
+from . import sequences as seq_mod
+from .frame import MAX_BLOCK_SIZE, write_frame_header
+
+MIN_MATCH = 3
+
+
+# ---------------------------------------------------------------------------
+# Sequence extraction (per block)
+# ---------------------------------------------------------------------------
+
+def _find_sequences(s: np.ndarray, hashlog: int, max_offset: int):
+    """Greedy parse of one block: returns (mpos, mlen, moff) arrays."""
+    n = s.size
+    if n < 16:
+        return (np.empty(0, np.int64),) * 3
+    cand = lz4block._find_candidates(s, hashlog=hashlog)
+    pos_all = np.arange(cand.size, dtype=np.int64)
+    offset = pos_all - cand
+    valid = (cand >= 0) & (offset <= max_offset) & (pos_all <= n - 8)
+    limit = np.zeros(cand.size, dtype=np.int64)
+    limit[valid] = n - pos_all[valid]
+    mlen = np.zeros(cand.size, dtype=np.int64)
+    vidx = np.where(valid)[0]
+    if vidx.size:
+        mlen[vidx] = lz4block._match_lengths(s, pos_all[vidx], cand[vidx],
+                                             limit[vidx])
+    valid &= mlen >= 4
+    next_pos = np.where(valid, pos_all + mlen, pos_all + 1)
+    full_next = np.full(n, n, dtype=np.int64)
+    full_next[: next_pos.size] = next_pos
+    visited = lz4block._greedy_parse(full_next, n)
+    is_match = np.zeros(n, dtype=bool)
+    vm = np.zeros(n, dtype=np.int64)
+    voff = np.zeros(n, dtype=np.int64)
+    is_match[: valid.size] = valid
+    vm[: mlen.size] = mlen
+    voff[: offset.size] = offset
+    m_sel = visited[is_match[visited]]
+    return m_sel, vm[m_sel], voff[m_sel]
+
+
+# ---------------------------------------------------------------------------
+# Literals section encode
+# ---------------------------------------------------------------------------
+
+def _encode_literals(lits: np.ndarray) -> bytes:
+    """Emit a Literals_Section (choosing Raw / RLE / Compressed)."""
+    n = lits.size
+    raw = _literals_raw(lits)
+    if n == 0:
+        return raw
+    if np.all(lits == lits[0]):
+        return _literals_rle(int(lits[0]), n)
+    if n < 32:
+        return raw
+    hist = np.bincount(lits, minlength=256)
+    built = huffman.build_weights(hist)
+    if built is None:
+        return raw
+    weights, nsym = built
+    tree = huffman.write_tree_description(weights, nsym)
+    if tree is None:
+        return raw
+    code_val, code_bits, _tl = huffman.build_encode_table(weights)
+
+    use_4 = n >= 256
+    if use_4:
+        n123 = (n + 3) // 4
+        parts = [lits[0:n123], lits[n123:2 * n123], lits[2 * n123:3 * n123],
+                 lits[3 * n123:]]
+        streams = []
+        for p in parts:
+            streams.append(_huf_stream(p, code_val, code_bits))
+        jump = b"".join(len(x).to_bytes(2, "little") for x in streams[:3])
+        payload = tree + jump + b"".join(streams)
+    else:
+        payload = tree + _huf_stream(lits, code_val, code_bits)
+    hdr = _literals_comp_header(n, len(payload), use_4)
+    if hdr is None or len(hdr) + len(payload) >= len(raw):
+        return raw
+    return hdr + payload
+
+
+def _huf_stream(symbols: np.ndarray, code_val, code_bits) -> bytes:
+    """One Huffman stream: symbols written in reverse order so the
+    backward-reading decoder emits them forward."""
+    vals = code_val[symbols].astype(np.uint64)[::-1]
+    nbs = code_bits[symbols].astype(np.int64)[::-1]
+    return pack_bits_lsb(vals, nbs, end_marker=True)
+
+
+def _literals_raw(lits: np.ndarray) -> bytes:
+    n = lits.size
+    if n < 32:
+        hdr = bytes([(n << 3) | 0])  # size_format 00, type raw
+    elif n < 4096:
+        hdr = bytes([((n & 0xF) << 4) | (1 << 2) | 0, (n >> 4) & 0xFF])
+    else:
+        hdr = bytes([((n & 0xF) << 4) | (3 << 2) | 0, (n >> 4) & 0xFF,
+                     (n >> 12) & 0xFF])
+    return hdr + lits.tobytes()
+
+
+def _literals_rle(byte: int, n: int) -> bytes:
+    if n < 32:
+        hdr = bytes([(n << 3) | 1])
+    elif n < 4096:
+        hdr = bytes([((n & 0xF) << 4) | (1 << 2) | 1, (n >> 4) & 0xFF])
+    else:
+        hdr = bytes([((n & 0xF) << 4) | (3 << 2) | 1, (n >> 4) & 0xFF,
+                     (n >> 12) & 0xFF])
+    return hdr + bytes([byte])
+
+
+def _literals_comp_header(regen: int, csize: int, four: bool):
+    if not four:
+        if regen > 1023 or csize > 1023:
+            return None
+        h = 2 | (0 << 2) | (regen << 4) | (csize << 14)
+        return h.to_bytes(3, "little")
+    if regen <= 1023 and csize <= 1023:
+        h = 2 | (1 << 2) | (regen << 4) | (csize << 14)
+        return h.to_bytes(3, "little")
+    if regen <= 0x3FFF and csize <= 0x3FFF:
+        h = 2 | (2 << 2) | (regen << 4) | (csize << 18)
+        return h.to_bytes(4, "little")
+    if regen <= 0x3FFFF and csize <= 0x3FFFF:
+        h = 2 | (3 << 2) | (regen << 4) | (csize << 22)
+        return h.to_bytes(5, "little")
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Sequences section encode
+# ---------------------------------------------------------------------------
+
+def _seq_count_bytes(nseq: int) -> bytes:
+    if nseq < 128:
+        return bytes([nseq])
+    if nseq < 0x7F00:
+        return bytes([128 + (nseq >> 8), nseq & 0xFF])
+    return bytes([255, (nseq - 0x7F00) & 0xFF, ((nseq - 0x7F00) >> 8) & 0xFF])
+
+
+def _choose_table(codes: np.ndarray, max_sym: int, max_log: int,
+                  default_norm, default_log):
+    """Pick (mode, header_bytes, ctable) for one code stream."""
+    nseq = codes.size
+    hist = np.bincount(codes, minlength=max_sym + 1)
+    used = np.nonzero(hist)[0]
+    if used.size == 1:
+        # RLE mode
+        return (seq_mod.MODE_RLE, bytes([int(used[0])]),
+                _rle_ctable(int(used[0])))
+    predef_ok = used[-1] < default_norm.size and np.all(
+        default_norm[used] != 0)
+    if nseq < 32 and predef_ok:
+        ct = fse.build_ctable(default_norm, default_log)
+        return seq_mod.MODE_PREDEFINED, b"", ct
+    # custom table
+    tl = max(5, min(max_log, (int(nseq) - 1).bit_length() - 2))
+    min_tl = max(1, (int(used.size) - 1).bit_length())
+    tl = max(tl, min_tl)
+    tl = min(tl, max_log)
+    norm = fse.normalize_counts(hist, tl, nseq, int(used[-1]))
+    header = fse.write_ncount(norm, tl)
+    ct = fse.build_ctable(norm, tl)
+    # compare with predefined cost (approx: header size vs entropy delta)
+    if predef_ok:
+        pd_norm = default_norm.astype(np.float64)
+        pd_p = np.where(pd_norm < 0, 0.5, pd_norm) / (1 << default_log)
+        cu_p = np.where(norm < 0, 0.5, norm).astype(np.float64) / (1 << tl)
+        h = hist[used].astype(np.float64)
+        pd_cost = -np.sum(h * np.log2(pd_p[used]))
+        cu_cost = -np.sum(h * np.log2(np.maximum(cu_p[used], 1e-9))) \
+            + 8 * len(header)
+        if pd_cost <= cu_cost:
+            ct = fse.build_ctable(default_norm, default_log)
+            return seq_mod.MODE_PREDEFINED, b"", ct
+    return seq_mod.MODE_FSE, header, ct
+
+
+def _rle_ctable(symbol: int):
+    """Encoder-side stub for RLE mode: state emits 0 bits."""
+    class _RLE:
+        accuracy_log = 0
+
+        class _Enc:
+            def __init__(self):
+                self.state = 0
+
+            def encode(self, sym):
+                return (0, 0)
+
+            def flush(self):
+                return (0, 0)
+    return _RLE()
+
+
+class _EncState:
+    def __init__(self, ct, first_symbol):
+        if isinstance(ct, fse.CTable):
+            self.enc = fse.Encoder(ct, first_symbol)
+        else:
+            self.enc = ct._Enc()
+
+    def encode(self, sym):
+        return self.enc.encode(sym)
+
+    def flush(self):
+        return self.enc.flush()
+
+
+def _encode_sequences(ll: np.ndarray, moff: np.ndarray,
+                      ml: np.ndarray) -> bytes:
+    """Emit a Sequences_Section for matches (offset in plain form)."""
+    nseq = ml.size
+    out = bytearray(_seq_count_bytes(nseq))
+    if nseq == 0:
+        return bytes(out)
+
+    ll_codes = seq_mod.ll_code_of(ll)
+    ml_codes = seq_mod.ml_code_of(ml)
+    of_values = moff + 3
+    of_codes = seq_mod.of_code_of(of_values)
+
+    ll_mode, ll_hdr, ll_ct = _choose_table(
+        ll_codes, seq_mod.MAX_LL_CODE, seq_mod.MAX_LL_LOG,
+        seq_mod.LL_DEFAULT_NORM, seq_mod.LL_DEFAULT_LOG)
+    of_mode, of_hdr, of_ct = _choose_table(
+        of_codes, seq_mod.MAX_OF_CODE, seq_mod.MAX_OF_LOG,
+        seq_mod.OF_DEFAULT_NORM, seq_mod.OF_DEFAULT_LOG)
+    ml_mode, ml_hdr, ml_ct = _choose_table(
+        ml_codes, seq_mod.MAX_ML_CODE, seq_mod.MAX_ML_LOG,
+        seq_mod.ML_DEFAULT_NORM, seq_mod.ML_DEFAULT_LOG)
+
+    out.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
+    out += ll_hdr
+    out += of_hdr
+    out += ml_hdr
+
+    # extra-bit values
+    ll_bits = seq_mod.LL_BITS[ll_codes]
+    ll_extra = ll - seq_mod.LL_BASE[ll_codes]
+    ml_bits = seq_mod.ML_BITS[ml_codes]
+    ml_extra = ml - seq_mod.ML_BASE[ml_codes]
+    of_bits = of_codes
+    of_extra = of_values - (np.int64(1) << of_codes)
+
+    pairs: list[tuple[int, int]] = []
+    last = nseq - 1
+    enc_ml = _EncState(ml_ct, int(ml_codes[last]))
+    enc_of = _EncState(of_ct, int(of_codes[last]))
+    enc_ll = _EncState(ll_ct, int(ll_codes[last]))
+    pairs.append((int(ll_extra[last]), int(ll_bits[last])))
+    pairs.append((int(ml_extra[last]), int(ml_bits[last])))
+    pairs.append((int(of_extra[last]), int(of_bits[last])))
+    for i in range(nseq - 2, -1, -1):
+        pairs.append(enc_of.encode(int(of_codes[i])))
+        pairs.append(enc_ml.encode(int(ml_codes[i])))
+        pairs.append(enc_ll.encode(int(ll_codes[i])))
+        pairs.append((int(ll_extra[i]), int(ll_bits[i])))
+        pairs.append((int(ml_extra[i]), int(ml_bits[i])))
+        pairs.append((int(of_extra[i]), int(of_bits[i])))
+    pairs.append(enc_ml.flush())
+    pairs.append(enc_of.flush())
+    pairs.append(enc_ll.flush())
+
+    vals = np.array([p[0] for p in pairs], dtype=np.uint64)
+    nbs = np.array([p[1] for p in pairs], dtype=np.int64)
+    out += pack_bits_lsb(vals, nbs, end_marker=True)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Block + frame drivers
+# ---------------------------------------------------------------------------
+
+def compress_block_body(s: np.ndarray, hashlog: int) -> bytes | None:
+    """Build a Compressed_Block body; None if expansion (caller emits raw)."""
+    n = s.size
+    mpos, mlen, moff = _find_sequences(s, hashlog, max_offset=n)
+    if mpos.size:
+        lit_starts = np.concatenate([[0], mpos + mlen])
+        lit_lens = np.concatenate([mpos, [n]]) - lit_starts
+        ll = lit_lens[:-1]
+        # literals = all bytes not covered by matches
+        keep = np.ones(n, dtype=bool)
+        cover_idx = _runs_to_indices(mpos, mlen)
+        keep[cover_idx] = False
+        lits = s[keep]
+    else:
+        ll = np.empty(0, dtype=np.int64)
+        lits = s
+    lit_sec = _encode_literals(lits)
+    seq_sec = _encode_sequences(ll, moff, mlen)
+    body = lit_sec + seq_sec
+    if len(body) >= n:
+        return None
+    return body
+
+
+def _runs_to_indices(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    base = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    within = np.arange(total) - np.repeat(base, lengths)
+    return np.repeat(starts, lengths) + within
+
+
+def compress(data: bytes, level: int = 3, checksum: bool = True,
+             block_size: int = MAX_BLOCK_SIZE) -> bytes:
+    """One-shot zstd frame compression."""
+    if level < -7 or level > 22:
+        raise ParamError(f"zstd level {level} out of range")
+    s = np.frombuffer(data, dtype=np.uint8)
+    n = s.size
+    hashlog = 16 if level <= 3 else 17
+    out = bytearray(write_frame_header(n, checksum=checksum))
+    if n == 0:
+        out += bytes([0x01, 0x00, 0x00])  # last, raw, size 0
+    else:
+        nblocks = -(-n // block_size)
+        for b in range(nblocks):
+            chunk = s[b * block_size:(b + 1) * block_size]
+            last = 1 if b == nblocks - 1 else 0
+            if np.all(chunk == chunk[0]) and chunk.size >= 8:
+                bh = last | (1 << 1) | (chunk.size << 3)
+                out += bh.to_bytes(3, "little")
+                out.append(int(chunk[0]))
+                continue
+            body = compress_block_body(chunk, hashlog)
+            if body is None:
+                bh = last | (0 << 1) | (chunk.size << 3)
+                out += bh.to_bytes(3, "little")
+                out += chunk.tobytes()
+            else:
+                bh = last | (2 << 1) | (len(body) << 3)
+                out += bh.to_bytes(3, "little")
+                out += body
+    if checksum:
+        out += (_xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
