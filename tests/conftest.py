@@ -9,9 +9,15 @@ exercising 1..N workers over identical data (tests/main.test:79-92).
 
 import os
 
-os.environ.setdefault("XLA_FLAGS",
-                      "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# the image's sitecustomize pins JAX_PLATFORMS=axon (real TPU); force CPU
+# for the deterministic virtual-mesh test suite
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import hashlib
 import random

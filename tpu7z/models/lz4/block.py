@@ -247,6 +247,25 @@ def compress_block(src, accel: int = 1, hashlog: int = 16) -> bytes:
     return _emit_sequences(s, m_sel, vm[m_sel], voff[m_sel])
 
 
+def merge_adjacent_matches(mpos: np.ndarray, mlen: np.ndarray,
+                           moff: np.ndarray):
+    """Merge chains of matches where one ends exactly where the next
+    starts with the same offset. The device match finder caps lengths at
+    ops.match_jax.ML_CAP; merging restores arbitrarily long matches."""
+    k = mpos.size
+    if k == 0:
+        return mpos, mlen, moff
+    joins = (mpos[1:] == mpos[:-1] + mlen[:-1]) & (moff[1:] == moff[:-1])
+    # group id increments where a new chain starts
+    group = np.concatenate([[0], np.cumsum(~joins)])
+    starts = np.full(int(group[-1]) + 1, k, dtype=np.int64)
+    np.minimum.at(starts, group, np.arange(k))
+    first = starts  # index of first match in each group
+    total = np.zeros(first.size, dtype=np.int64)
+    np.add.at(total, group, mlen)
+    return mpos[first], total, moff[first]
+
+
 def _emit_all_literal(s: np.ndarray) -> bytes:
     return _emit_sequences(s, np.empty(0, np.int64), np.empty(0, np.int64),
                            np.empty(0, np.int64))
