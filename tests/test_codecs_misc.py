@@ -1,0 +1,118 @@
+"""BZip2, Deflate/gzip, and filter tests against trusted implementations."""
+
+import bz2 as bz2lib
+import gzip as gziplib
+import lzma
+import zlib
+
+import numpy as np
+import pytest
+
+from tpu7z.models import bzip2, deflate
+from tpu7z.models.bzip2 import bwt
+from tpu7z.models.filters import bcj, delta
+
+
+def small(corpus, cap=60000):
+    return {k: v[:cap] for k, v in corpus.items()}
+
+
+# --- BWT kernels -----------------------------------------------------------
+
+def test_bwt_roundtrip(corpus):
+    for name, data in small(corpus, 30000).items():
+        last, ptr = bwt.bwt_forward(data)
+        assert bwt.bwt_inverse(last, ptr) == data, name
+
+
+def test_bwt_known_vector():
+    assert bwt.bwt_forward(b"banana") == (b"nnbaaa", 3)
+
+
+# --- BZip2 -----------------------------------------------------------------
+
+def test_bzip2_decode_reference_streams(corpus):
+    for name, data in small(corpus).items():
+        for lvl in (1, 9):
+            c = bz2lib.compress(data, lvl)
+            assert bzip2.decompress(c) == data, f"{name} lvl{lvl}"
+
+
+def test_bzip2_encode_externally_decodable(corpus):
+    for name, data in small(corpus).items():
+        ours = bzip2.compress(data)
+        assert bz2lib.decompress(ours) == data, name
+
+
+def test_bzip2_multiblock():
+    data = (b"block boundary test " * 20000)  # > 100k after rle
+    ours = bzip2.compress(data, level=1)
+    assert bz2lib.decompress(ours) == data
+    assert bzip2.decompress(ours) == data
+
+
+# --- Deflate / gzip --------------------------------------------------------
+
+def test_deflate_decode_reference_streams(corpus):
+    for name, data in small(corpus).items():
+        for lvl in (1, 6, 9):
+            c = zlib.compress(data, lvl)[2:-4]
+            assert deflate.decompress(c) == data, f"{name} lvl{lvl}"
+
+
+def test_deflate_encode_externally_decodable(corpus):
+    for name, data in small(corpus).items():
+        ours = deflate.compress(data)
+        assert zlib.decompress(ours, wbits=-15) == data, name
+
+
+def test_gzip_both_directions(corpus):
+    data = corpus["text"]
+    assert gziplib.decompress(deflate.gzip_compress(data)) == data
+    assert deflate.gzip_decompress(gziplib.compress(data, 6)) == data
+
+
+# --- Filters ---------------------------------------------------------------
+
+def test_delta_matches_liblzma(corpus):
+    data = corpus["struct"][:50000]
+    for dist in (1, 2, 4, 8, 16):
+        enc = delta.delta_encode(data, dist)
+        assert delta.delta_decode(enc, dist) == data
+        c = lzma.compress(data, format=lzma.FORMAT_RAW, filters=[
+            {"id": lzma.FILTER_DELTA, "dist": dist},
+            {"id": lzma.FILTER_LZMA2, "preset": 0}])
+        mid = lzma.decompress(c, format=lzma.FORMAT_RAW, filters=[
+            {"id": lzma.FILTER_LZMA2, "preset": 0}])
+        assert enc == mid, f"dist {dist}"
+
+
+@pytest.mark.parametrize("fid,name", [
+    (lzma.FILTER_X86, "x86"),
+    (lzma.FILTER_ARM, "arm"),
+    (lzma.FILTER_SPARC, "sparc"),
+    (lzma.FILTER_POWERPC, "ppc"),
+])
+def test_bcj_matches_liblzma(fid, name):
+    rng = np.random.default_rng(11)
+    buf = bytearray(rng.integers(0, 256, 30000, dtype=np.uint8).tobytes())
+    if name == "x86":
+        for i in range(0, len(buf) - 10, 37):
+            buf[i] = 0xE8
+            buf[i + 4] = 0x00
+    buf = bytes(buf)
+    c = lzma.compress(buf, format=lzma.FORMAT_RAW, filters=[
+        {"id": fid}, {"id": lzma.FILTER_LZMA2, "preset": 0}])
+    mid = lzma.decompress(c, format=lzma.FORMAT_RAW, filters=[
+        {"id": lzma.FILTER_LZMA2, "preset": 0}])
+    enc, dec = bcj.FILTERS[name]
+    assert enc(buf) == mid
+    assert dec(enc(buf)) == buf
+
+
+def test_bcj_arm64_roundtrip():
+    rng = np.random.default_rng(12)
+    w = rng.integers(0, 2 ** 32, 4096, dtype=np.uint64).astype(np.uint32)
+    w[::5] = (0x94000000 | (w[::5] & 0x03FFFFFF)).astype(np.uint32)
+    buf = w.astype("<u4").tobytes()
+    assert bcj.bcj_arm64_decode(bcj.bcj_arm64_encode(buf)) == buf

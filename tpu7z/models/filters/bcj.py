@@ -1,0 +1,204 @@
+"""BCJ branch-converter filters.
+
+Behavioral reference: C/Bra86.c (x86 E8/E9 rewriting with the 3-bit
+prevMask state machine), C/Bra.c (fixed-width ARM/ARM64/PPC/SPARC/ARMT
+rewrites). Written from the reference's documented behavior; bit-exact
+interop is regression-tested through .7z archives produced by the
+reference binary (tests/test_sevenzip.py).
+
+Fixed-width filters are pure vector ops (mask + gather + arithmetic);
+x86 walks only the sparse E8/E9 candidate positions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _test86_ms_byte(b: int) -> bool:
+    return b == 0 or b == 0xFF
+
+
+def _x86_convert(data: bytes, ip: int, encoding: bool) -> bytes:
+    buf = bytearray(data)
+    size = len(buf)
+    if size < 5:
+        return bytes(buf)
+    limit = size - 4
+    mask = 0
+    pos = 0
+    prev_pos = -1
+    while True:
+        # advance to next 0xE8/0xE9
+        p = pos
+        while p < limit and (buf[p] & 0xFE) != 0xE8:
+            p += 1
+        d = p - pos
+        pos = p
+        if p >= limit:
+            break
+        if d > 2:
+            mask = 0
+        else:
+            mask >>= d
+            if mask != 0 and (mask > 4 or mask == 3
+                              or _test86_ms_byte(buf[p + (mask >> 1) + 1])):
+                mask = (mask >> 1) | 4
+                pos += 1
+                continue
+        if _test86_ms_byte(buf[p + 4]):
+            v = (buf[p + 4] << 24) | (buf[p + 3] << 16) \
+                | (buf[p + 2] << 8) | buf[p + 1]
+            cur = (ip + 5 + pos) & 0xFFFFFFFF
+            while True:
+                if encoding:
+                    v = (v + cur) & 0xFFFFFFFF
+                else:
+                    v = (v - cur) & 0xFFFFFFFF
+                if mask == 0:
+                    break
+                sh = (mask & 6) << 2
+                if _test86_ms_byte((v >> sh) & 0xFF):
+                    v ^= ((0x100 << sh) - 1)
+                    continue
+                break
+            buf[p + 1] = v & 0xFF
+            buf[p + 2] = (v >> 8) & 0xFF
+            buf[p + 3] = (v >> 16) & 0xFF
+            buf[p + 4] = (0 - ((v >> 24) & 1)) & 0xFF
+            pos += 5
+            mask = 0
+        else:
+            mask = (mask >> 1) | 4
+            pos += 1
+    return bytes(buf)
+
+
+def bcj_x86_encode(data: bytes, ip: int = 0) -> bytes:
+    return _x86_convert(data, ip, True)
+
+
+def bcj_x86_decode(data: bytes, ip: int = 0) -> bytes:
+    return _x86_convert(data, ip, False)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width branch filters (vectorized)
+# ---------------------------------------------------------------------------
+
+def _arm_convert(data: bytes, ip: int, encoding: bool) -> bytes:
+    """ARM (little-endian A32): BL imm24 at word-aligned positions
+    (opcode byte 0xEB). addr = imm24 << 2; pc bias 8."""
+    s = np.frombuffer(data, dtype=np.uint8).copy()
+    n = (s.size // 4) * 4
+    if n == 0:
+        return data
+    w = s[:n].reshape(-1, 4)
+    hit = w[:, 3] == 0xEB
+    v = (w[:, 0].astype(np.uint32) | (w[:, 1].astype(np.uint32) << 8)
+         | (w[:, 2].astype(np.uint32) << 16)) << np.uint32(2)
+    cur = (np.arange(w.shape[0], dtype=np.uint32) * 4 + np.uint32(ip + 8))
+    v2 = (v + cur) if encoding else (v - cur)
+    v2 = (v2 >> np.uint32(2)) & np.uint32(0xFFFFFF)
+    w[hit, 0] = (v2[hit] & 0xFF).astype(np.uint8)
+    w[hit, 1] = ((v2[hit] >> 8) & 0xFF).astype(np.uint8)
+    w[hit, 2] = ((v2[hit] >> 16) & 0xFF).astype(np.uint8)
+    return s.tobytes()
+
+
+def _arm64_convert(data: bytes, ip: int, encoding: bool) -> bytes:
+    """ARM64: BL (imm26, word branch) and in-range ADRP (21-bit page
+    delta) rewritten to absolute, matching the xz/7-Zip arm64 filter
+    behavior (C/Bra.c arm64 branch)."""
+    s = np.frombuffer(data, dtype=np.uint8).copy()
+    n = (s.size // 4) * 4
+    if n == 0:
+        return data
+    w = s[:n].view("<u4").astype(np.uint32)
+    pos = np.arange(w.size, dtype=np.uint32) * 4 + np.uint32(ip)
+
+    # BL: word-granular 26-bit displacement
+    is_bl = (w & np.uint32(0xFC000000)) == np.uint32(0x94000000)
+    imm = w & np.uint32(0x03FFFFFF)
+    pc_words = pos >> np.uint32(2)
+    abs_bl = (imm + pc_words) if encoding else (imm - pc_words)
+    bl_new = np.uint32(0x94000000) | (abs_bl & np.uint32(0x03FFFFFF))
+
+    # ADRP: page-granular 21-bit delta, only when within +-512 MiB
+    is_adrp = (w & np.uint32(0x9F000000)) == np.uint32(0x90000000)
+    src = ((w >> np.uint32(29)) & np.uint32(3)) \
+        | ((w >> np.uint32(3)) & np.uint32(0x001FFFFC))
+    in_range = ((src + np.uint32(0x00020000))
+                & np.uint32(0x001C0000)) == np.uint32(0)
+    pc_pages = pos >> np.uint32(12)
+    dest = (src + pc_pages) if encoding else (src - pc_pages)
+    adrp_new = (w & np.uint32(0x9000001F))
+    adrp_new |= (dest & np.uint32(3)) << np.uint32(29)
+    adrp_new |= (dest & np.uint32(0x0003FFFC)) << np.uint32(3)
+    adrp_new |= (np.uint32(0) - (dest & np.uint32(0x00020000))) \
+        & np.uint32(0x00E00000)
+
+    w = np.where(is_bl, bl_new, np.where(is_adrp & in_range, adrp_new, w))
+    s[:n] = w.astype("<u4").view(np.uint8)
+    return s.tobytes()
+
+
+def _ppc_convert(data: bytes, ip: int, encoding: bool) -> bytes:
+    """PPC (big-endian): bl absolute-address rewrite (opcode 0x48 with
+    AA/LK bits == 1)."""
+    s = np.frombuffer(data, dtype=np.uint8).copy()
+    n = (s.size // 4) * 4
+    if n == 0:
+        return data
+    w = s[:n].view(">u4").astype(np.uint32)  # numeric values, native order
+    pos = np.arange(w.size, dtype=np.uint32) * 4 + np.uint32(ip)
+    hit = (w & np.uint32(0xFC000003)) == np.uint32(0x48000001)
+    off = w & np.uint32(0x03FFFFFC)
+    abs_ = (off + pos) if encoding else (off - pos)
+    w = np.where(hit,
+                 np.uint32(0x48000001) | (abs_ & np.uint32(0x03FFFFFC)), w)
+    s[:n] = w.astype(">u4").view(np.uint8)
+    return s.tobytes()
+
+
+def _sparc_convert(data: bytes, ip: int, encoding: bool) -> bytes:
+    """SPARC call (30-bit word displacement), per C/Bra.c."""
+    s = np.frombuffer(data, dtype=np.uint8).copy()
+    n = (s.size // 4) * 4
+    if n == 0:
+        return data
+    w = s[:n].view(">u4").astype(np.uint32)
+    pos = np.arange(w.size, dtype=np.uint32) * 4 + np.uint32(ip)
+    hit = ((w & np.uint32(0xC0000000)) == np.uint32(0x40000000)) & (
+        ((w & np.uint32(0x3FFFFFFF)) < np.uint32(0x00400000))
+        | ((w & np.uint32(0x3FFFFFFF)) >= np.uint32(0x3FC00000)))
+    byte_off = (w << np.uint32(2)).astype(np.uint32)
+    abs_ = (byte_off + pos) if encoding else (byte_off - pos)
+    nw = (np.uint32(0x40000000)
+          | ((abs_ >> np.uint32(2)) & np.uint32(0x3FFFFFFF)))
+    w = np.where(hit, nw, w)
+    s[:n] = w.astype(">u4").view(np.uint8)
+    return s.tobytes()
+
+
+def _mk(enc_fn):
+    def enc(data, ip=0):
+        return enc_fn(data, ip, True)
+
+    def dec(data, ip=0):
+        return enc_fn(data, ip, False)
+    return enc, dec
+
+
+bcj_arm_encode, bcj_arm_decode = _mk(_arm_convert)
+bcj_arm64_encode, bcj_arm64_decode = _mk(_arm64_convert)
+bcj_ppc_encode, bcj_ppc_decode = _mk(_ppc_convert)
+bcj_sparc_encode, bcj_sparc_decode = _mk(_sparc_convert)
+
+FILTERS = {
+    "x86": (bcj_x86_encode, bcj_x86_decode),
+    "arm": (bcj_arm_encode, bcj_arm_decode),
+    "arm64": (bcj_arm64_encode, bcj_arm64_decode),
+    "ppc": (bcj_ppc_encode, bcj_ppc_decode),
+    "sparc": (bcj_sparc_encode, bcj_sparc_decode),
+}
