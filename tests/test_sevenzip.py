@@ -1,0 +1,120 @@
+""".7z container tests: read archives created by the reference binary,
+and have the reference test/extract archives we create (the reference's
+own e2e strategy, tests/main.test:94-125 encrypt matrix included)."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from tpu7z.containers.sevenzip import SevenZipReader, write_archive
+from tests.conftest import REF_7ZZ, requires_ref
+
+
+@pytest.fixture(scope="module")
+def files(tmp_path_factory):
+    rng = np.random.default_rng(5)
+    return {
+        "a.txt": b"hello seven zip " * 500,
+        "b.bin": rng.integers(0, 256, 30000, dtype=np.uint8).tobytes(),
+        "sub_c.txt": b"another file with text content " * 300,
+        "empty.txt": b"",
+    }
+
+
+def test_roundtrip_self(files):
+    for m in ("lzma2", "zstd", "copy", "bzip2", "lz4", "deflate"):
+        arc = write_archive(files, method=m)
+        out = SevenZipReader(arc).extract_all()
+        assert out == {**{n: d for n, d in files.items()}}, m
+
+
+def test_roundtrip_non_solid(files):
+    arc = write_archive(files, method="lzma2", solid=False)
+    out = SevenZipReader(arc).extract_all()
+    for n, d in files.items():
+        assert out[n] == d
+
+
+def test_encrypted_roundtrip(files):
+    arc = write_archive(files, method="lzma2", password="pw123")
+    out = SevenZipReader(arc, password="pw123").extract_all()
+    for n, d in files.items():
+        assert out[n] == d
+    from tpu7z.utils.errors import UnsupportedError
+    with pytest.raises(UnsupportedError):
+        SevenZipReader(arc).extract_all()
+
+
+def test_corrupt_detected(files):
+    from tpu7z.utils.errors import CorruptError
+    arc = bytearray(write_archive(files, method="lzma2"))
+    arc[40] ^= 0xFF
+    with pytest.raises(CorruptError):
+        SevenZipReader(bytes(arc)).extract_all()
+
+
+@requires_ref
+@pytest.mark.parametrize("method", ["lzma2", "zstd", "copy", "bzip2",
+                                    "lz4", "deflate", "lzma"])
+def test_read_reference_archives(tmp_path, files, method):
+    names = []
+    for n, d in files.items():
+        (tmp_path / n).write_bytes(d)
+        names.append(n)
+    arc = tmp_path / "t.7z"
+    r = subprocess.run([REF_7ZZ, "a", str(arc), f"-m0={method}"] +
+                       [str(tmp_path / n) for n in names],
+                       capture_output=True)
+    assert r.returncode == 0
+    out = SevenZipReader(arc.read_bytes()).extract_all()
+    for n, d in files.items():
+        assert out[n] == d, f"{method}:{n}"
+
+
+@requires_ref
+@pytest.mark.parametrize("method", ["lzma2", "zstd", "bzip2", "lz4",
+                                    "deflate", "copy"])
+def test_reference_extracts_our_archives(tmp_path, files, method):
+    arc = tmp_path / "ours.7z"
+    arc.write_bytes(write_archive(files, method=method))
+    r = subprocess.run([REF_7ZZ, "t", str(arc)], capture_output=True)
+    assert b"Everything is Ok" in r.stdout, r.stdout[-400:]
+    outdir = tmp_path / "x"
+    subprocess.run([REF_7ZZ, "x", "-y", f"-o{outdir}", str(arc)],
+                   capture_output=True, check=True)
+    for n, d in files.items():
+        assert (outdir / n).read_bytes() == d
+
+
+@requires_ref
+def test_reference_decrypts_our_archive(tmp_path, files):
+    arc = tmp_path / "enc.7z"
+    arc.write_bytes(write_archive(files, method="lzma2", password="s3cret"))
+    r = subprocess.run([REF_7ZZ, "t", "-ps3cret", str(arc)],
+                       capture_output=True)
+    assert b"Everything is Ok" in r.stdout
+
+
+@requires_ref
+def test_we_decrypt_reference_archive(tmp_path, files):
+    for n, d in files.items():
+        (tmp_path / n).write_bytes(d)
+    arc = tmp_path / "refenc.7z"
+    subprocess.run([REF_7ZZ, "a", str(arc), "-ps3cret", "-m0=lzma2",
+                    str(tmp_path / "a.txt"), str(tmp_path / "b.bin")],
+                   capture_output=True, check=True)
+    out = SevenZipReader(arc.read_bytes(), password="s3cret").extract_all()
+    assert out["a.txt"] == files["a.txt"]
+    assert out["b.bin"] == files["b.bin"]
+
+
+@requires_ref
+def test_read_reference_filter_chain(tmp_path, files):
+    (tmp_path / "b.bin").write_bytes(files["b.bin"])
+    arc = tmp_path / "d.7z"
+    subprocess.run([REF_7ZZ, "a", str(arc), "-m0=delta:4", "-m1=lzma2",
+                    str(tmp_path / "b.bin")], capture_output=True, check=True)
+    out = SevenZipReader(arc.read_bytes()).extract_all()
+    assert out["b.bin"] == files["b.bin"]
