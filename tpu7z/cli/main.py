@@ -1,0 +1,282 @@
+"""tpu7z console frontend — the 7z CLI analog.
+
+Behavioral reference: CPP/7zip/UI/Console (MainAr.cpp:30 -> Main2) and
+the switch table of UI/Common/ArchiveCommandLine.cpp:278-360. Verbs:
+
+  a  add/create     x/e extract     t  test     l  list
+  h  hash           b  benchmark    i  info
+
+Switches: -t{type} -m0={method} -mx{level} -p{password} -o{dir}
+          -si -so -mmt{n} -y
+Usage:  python -m tpu7z.cli a archive.7z file1 file2 ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from .. import VERSION_BANNER
+from ..models.registry import CODECS, get_codec
+from ..utils.errors import TpuzError
+
+_EXT_TYPES = {
+    ".7z": "7z", ".zst": "zstd", ".lz4": "lz4", ".xz": "xz",
+    ".bz2": "bzip2", ".gz": "gzip", ".tar": "tar",
+}
+
+
+def _sniff_type(path: str, data: bytes | None = None) -> str:
+    for ext, t in _EXT_TYPES.items():
+        if path.endswith(ext):
+            return t
+    if data:
+        if data[:6] == b"7z\xbc\xaf\x27\x1c":
+            return "7z"
+        if data[:4] == b"\x28\xb5\x2f\xfd":
+            return "zstd"
+        if data[:4] == b"\x04\x22\x4d\x18":
+            return "lz4"
+        if data[:6] == b"\xfd7zXZ\x00":
+            return "xz"
+        if data[:3] == b"BZh":
+            return "bzip2"
+        if data[:2] == b"\x1f\x8b":
+            return "gzip"
+    return "7z"
+
+
+class Options:
+    def __init__(self):
+        self.type = None
+        self.method = None
+        self.level = None
+        self.password = None
+        self.outdir = "."
+        self.stdin = False
+        self.stdout = False
+        self.yes = False
+        self.threads = None
+
+
+def _parse_switches(args):
+    opts = Options()
+    rest = []
+    for a in args:
+        if a.startswith("-t"):
+            opts.type = a[2:]
+        elif a.startswith("-m0="):
+            spec = a[4:]
+            parts = spec.split(":")
+            opts.method = parts[0]
+            for p in parts[1:]:
+                if p.startswith("x"):
+                    opts.level = int(p[1:])
+        elif a.startswith("-mx"):
+            opts.level = int(a[3:].lstrip("="))
+        elif a.startswith("-mmt"):
+            v = a[4:].lstrip("=")
+            opts.threads = None if v in ("", "on") else v
+        elif a.startswith("-p"):
+            opts.password = a[2:]
+        elif a.startswith("-o"):
+            opts.outdir = a[2:]
+        elif a == "-si":
+            opts.stdin = True
+        elif a == "-so":
+            opts.stdout = True
+        elif a == "-y":
+            opts.yes = True
+        elif a.startswith("-"):
+            print(f"warning: ignoring switch {a}", file=sys.stderr)
+        else:
+            rest.append(a)
+    return opts, rest
+
+
+def cmd_add(opts: Options, args):
+    if not args:
+        raise TpuzError("a: missing archive name")
+    archive = args[0]
+    inputs = args[1:]
+    atype = opts.type or _sniff_type(archive)
+    if opts.stdin:
+        data = sys.stdin.buffer.read()
+        files = {"stdin": data}
+    else:
+        files = {}
+        for path in inputs:
+            if os.path.isdir(path):
+                for root, _dirs, fnames in os.walk(path):
+                    for fn in fnames:
+                        p = os.path.join(root, fn)
+                        files[os.path.relpath(p)] = open(p, "rb").read()
+            else:
+                files[os.path.basename(path)] = open(path, "rb").read()
+    if not files:
+        raise TpuzError("a: no input files")
+
+    if atype == "7z":
+        from ..containers.sevenzip import write_archive
+        method = opts.method or "lzma2"
+        out = write_archive(files, method=method, level=opts.level or 5,
+                            password=opts.password)
+    else:
+        if len(files) > 1:
+            raise TpuzError(f"-t{atype}: single-stream format, got "
+                            f"{len(files)} inputs")
+        data = next(iter(files.values()))
+        codec = get_codec(opts.method or atype)
+        out = codec.compress(data, level=opts.level or 5)
+    if opts.stdout:
+        sys.stdout.buffer.write(out)
+    else:
+        with open(archive, "wb") as f:
+            f.write(out)
+        print(f"created {archive} ({len(out)} bytes)")
+    return 0
+
+
+def _open_archive(opts, path):
+    data = sys.stdin.buffer.read() if opts.stdin else open(path, "rb").read()
+    atype = opts.type or _sniff_type(path or "", data)
+    if atype == "7z":
+        from ..containers.sevenzip import SevenZipReader
+        rd = SevenZipReader(data, password=opts.password)
+        return atype, rd.extract_all(), rd
+    codec = get_codec(atype)
+    name = os.path.basename(path or "stdin")
+    for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz"):
+        if name.endswith(ext):
+            name = name[: -len(ext)]
+    return atype, {name: codec.decompress(data)}, None
+
+
+def cmd_extract(opts: Options, args, test_only=False):
+    if not args and not opts.stdin:
+        raise TpuzError("x: missing archive")
+    path = args[0] if args else None
+    atype, files, _rd = _open_archive(opts, path)
+    if test_only:
+        print(f"type={atype} files={len(files)}")
+        print("Everything is Ok")
+        return 0
+    if opts.stdout:
+        for content in files.values():
+            sys.stdout.buffer.write(content)
+        return 0
+    os.makedirs(opts.outdir, exist_ok=True)
+    for name, content in files.items():
+        dst = os.path.join(opts.outdir, name.replace("\\", "/"))
+        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+        with open(dst, "wb") as f:
+            f.write(content)
+        print(f"extracted {name} ({len(content)} bytes)")
+    return 0
+
+
+def cmd_list(opts: Options, args):
+    if not args:
+        raise TpuzError("l: missing archive")
+    data = open(args[0], "rb").read()
+    atype = opts.type or _sniff_type(args[0], data)
+    print(f"Listing archive: {args[0]}")
+    print(f"Type = {atype}")
+    if atype == "7z":
+        from ..containers.sevenzip import SevenZipReader
+        rd = SevenZipReader(data, password=opts.password)
+        print(f"{'Size':>10}  {'CRC':>8}  Name")
+        for fe in rd.files:
+            crc = f"{fe.crc:08x}" if fe.crc is not None else "-"
+            print(f"{fe.size:>10}  {crc:>8}  {fe.name}")
+    else:
+        _t, files, _ = _open_archive(opts, args[0])
+        for name, content in files.items():
+            print(f"{len(content):>10}  {'-':>8}  {name}")
+    return 0
+
+
+def cmd_hash(opts: Options, args):
+    from ..ops.hashers import HASHERS
+    for path in args:
+        data = open(path, "rb").read()
+        print(f"-- {path} ({len(data)} bytes)")
+        for name in sorted(HASHERS):
+            print(f"{name:11s} {HASHERS[name](data)}")
+    return 0
+
+
+def cmd_info(opts: Options, args):
+    print(VERSION_BANNER)
+    print("\nCodecs:")
+    for name, ci in sorted(CODECS.items()):
+        print(f"  {ci.method_id:>8X}  {name}  levels {ci.levels[0]}-"
+              f"{ci.levels[1]}")
+    from ..ops.hashers import HASHERS
+    print("\nHashers:")
+    for name in sorted(HASHERS):
+        print(f"  {name}")
+    print("\nFormats: 7z zstd lz4 xz bzip2 gzip")
+    return 0
+
+
+def cmd_bench(opts: Options, args):
+    from ..utils.corpus import make_corpus
+    size = 4 << 20
+    data = make_corpus(size)
+    print(f"{'method':8s} {'enc MB/s':>9} {'dec MB/s':>9} {'ratio':>6}")
+    for name in ("lz4", "zstd", "bzip2", "deflate", "lzma2"):
+        codec = get_codec(name)
+        t0 = time.time()
+        c = codec.compress(data, level=3)
+        te = time.time() - t0
+        t0 = time.time()
+        out = codec.decompress(c, out_size=size) if name == "lzma2" \
+            else codec.decompress(c)
+        td = time.time() - t0
+        assert out == data, f"{name} round-trip failed"
+        print(f"{name:8s} {size/te/1e6:>9.1f} {size/td/1e6:>9.1f} "
+              f"{size/len(c):>6.2f}")
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(VERSION_BANNER)
+        print(__doc__)
+        return 0
+    cmd = argv[0]
+    opts, rest = _parse_switches(argv[1:])
+    try:
+        if cmd == "a":
+            return cmd_add(opts, rest)
+        if cmd in ("x", "e"):
+            return cmd_extract(opts, rest)
+        if cmd == "t":
+            return cmd_extract(opts, rest, test_only=True)
+        if cmd == "l":
+            return cmd_list(opts, rest)
+        if cmd == "h":
+            return cmd_hash(opts, rest)
+        if cmd == "i":
+            return cmd_info(opts, rest)
+        if cmd == "b":
+            return cmd_bench(opts, rest)
+        print(f"unknown command {cmd!r}", file=sys.stderr)
+        return 1
+    except TpuzError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 2
+    except BrokenPipeError:
+        # downstream closed the pipe (e.g. `| head`) — not an error
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

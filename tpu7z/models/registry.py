@@ -1,0 +1,129 @@
+"""Codec registry — the RegisterCodec/ICompressCoder analog
+(CPP/7zip/Common/RegisterCodec.h:22-104, CPP/7zip/ICoder.h).
+
+Maps method names and 7z method IDs to stream codecs. Each entry is a
+(compress, decompress) pair over whole byte streams; container formats
+resolve coders through this table, like CreateCoder does in the
+reference (CPP/7zip/Common/CreateCoder.cpp).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from ..utils.errors import UnsupportedError
+
+
+@dataclass(frozen=True)
+class CodecInfo:
+    name: str
+    method_id: int
+    compress: Callable
+    decompress: Callable
+    levels: tuple  # (min, max)
+
+
+def _lz4_c(data, level=1, **kw):
+    from .lz4 import frame
+    return frame.compress_frame(data)
+
+
+def _lz4_d(data, **kw):
+    from .lz4 import frame
+    return frame.decompress(data)
+
+
+def _zstd_c(data, level=3, **kw):
+    from .zstd import compressor
+    return compressor.compress(data, level=min(level, 22))
+
+
+def _zstd_d(data, **kw):
+    from .zstd import frame
+    return frame.decompress(data)
+
+
+def _lzma2_c(data, level=5, **kw):
+    from .lzma import lzma2
+    return lzma2.compress(data)
+
+
+def _lzma2_d(data, out_size=None, **kw):
+    from .lzma import lzma2
+    return lzma2.decompress(data, out_size)
+
+
+def _lzma_c(data, level=5, **kw):
+    from .lzma import encoder
+    stream, props = encoder.compress_raw(data)
+    return stream  # props conveyed via container layer
+
+
+def _bzip2_c(data, level=9, **kw):
+    from . import bzip2
+    return bzip2.compress(data, level=max(1, min(level, 9)))
+
+
+def _bzip2_d(data, **kw):
+    from . import bzip2
+    return bzip2.decompress(data)
+
+
+def _deflate_c(data, level=6, **kw):
+    from . import deflate
+    return deflate.compress(data)
+
+
+def _deflate_d(data, out_size=None, **kw):
+    from . import deflate
+    return deflate.decompress(data, max_out=out_size)
+
+
+def _xz_c(data, level=5, **kw):
+    from ..containers import xz
+    return xz.compress(data)
+
+
+def _xz_d(data, **kw):
+    from ..containers import xz
+    return xz.decompress(data)
+
+
+def _gzip_c(data, level=6, **kw):
+    from . import deflate
+    return deflate.gzip_compress(data)
+
+
+def _gzip_d(data, **kw):
+    from . import deflate
+    return deflate.gzip_decompress(data)
+
+
+def _copy(data, **kw):
+    return data
+
+
+CODECS: dict[str, CodecInfo] = {}
+
+
+def _register(name, mid, c, d, levels=(1, 9)):
+    CODECS[name] = CodecInfo(name, mid, c, d, levels)
+
+
+_register("copy", 0x00, _copy, _copy, (0, 0))
+_register("lz4", 0x4F71104, _lz4_c, _lz4_d, (1, 12))
+_register("zstd", 0x4F71101, _zstd_c, _zstd_d, (1, 22))
+_register("lzma2", 0x21, _lzma2_c, _lzma2_d, (1, 9))
+_register("bzip2", 0x040202, _bzip2_c, _bzip2_d, (1, 9))
+_register("deflate", 0x040108, _deflate_c, _deflate_d, (1, 9))
+_register("xz", 0x21, _xz_c, _xz_d, (1, 9))
+_register("gzip", 0x040108, _gzip_c, _gzip_d, (1, 9))
+
+
+def get_codec(name: str) -> CodecInfo:
+    try:
+        return CODECS[name.lower()]
+    except KeyError:
+        raise UnsupportedError(f"unknown codec {name!r}; "
+                               f"available: {sorted(CODECS)}")
