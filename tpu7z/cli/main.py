@@ -276,6 +276,9 @@ def main(argv=None) -> int:
         except Exception:
             pass
         return 0
+    except OSError as e:
+        print(f"ERROR: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":
