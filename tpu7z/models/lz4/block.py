@@ -150,6 +150,28 @@ def _find_candidates(s: np.ndarray, hashlog: int = 16) -> np.ndarray:
     return cand
 
 
+def _find_candidates_multi(s: np.ndarray, hashlog: int = 16,
+                           depth: int = 2) -> list[np.ndarray]:
+    """Depth-k chain: cand_d[p] = d-th most recent q < p with p's hash.
+    One stable sort; deeper candidates are earlier sorted neighbors."""
+    v = _u32_at(s)
+    h = ((v * _HASH_MULT) >> np.uint32(32 - hashlog)).astype(np.uint32)
+    order = np.argsort(h, kind="stable")
+    sh = h[order]
+    out = []
+    for d in range(1, depth + 1):
+        cand = np.full(v.size, -1, dtype=np.int64)
+        if order.size > d:
+            same = sh[d:] == sh[:-d]
+            cand[order[d:][same]] = order[:-d][same]
+        ok = cand >= 0
+        idx = np.where(ok)[0]
+        ok[idx] = v[idx] == v[cand[idx]]
+        cand[~ok] = -1
+        out.append(cand)
+    return out
+
+
 def _match_lengths(s: np.ndarray, pos: np.ndarray, cand: np.ndarray,
                    limit: np.ndarray) -> np.ndarray:
     """Exact common-prefix length of s[pos:] vs s[cand:], starting from a

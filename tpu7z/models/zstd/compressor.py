@@ -37,23 +37,40 @@ MIN_MATCH = 3
 # Sequence extraction (per block)
 # ---------------------------------------------------------------------------
 
-def _find_sequences(s: np.ndarray, hashlog: int, max_offset: int):
-    """Greedy parse of one block: returns (mpos, mlen, moff) arrays."""
+def _find_sequences(s: np.ndarray, hashlog: int, max_offset: int,
+                    depth: int = 2):
+    """Greedy parse of one block: returns (mpos, mlen, moff) arrays.
+    depth-k candidate chains: per position the longest match wins
+    (ties to the nearer candidate)."""
     n = s.size
     if n < 16:
         return (np.empty(0, np.int64),) * 3
-    cand = lz4block._find_candidates(s, hashlog=hashlog)
-    pos_all = np.arange(cand.size, dtype=np.int64)
-    offset = pos_all - cand
-    valid = (cand >= 0) & (offset <= max_offset) & (pos_all <= n - 8)
-    limit = np.zeros(cand.size, dtype=np.int64)
-    limit[valid] = n - pos_all[valid]
-    mlen = np.zeros(cand.size, dtype=np.int64)
-    vidx = np.where(valid)[0]
-    if vidx.size:
-        mlen[vidx] = lz4block._match_lengths(s, pos_all[vidx], cand[vidx],
-                                             limit[vidx])
-    valid &= mlen >= 4
+    cands = lz4block._find_candidates_multi(s, hashlog=hashlog, depth=depth)
+    pos_all = np.arange(cands[0].size, dtype=np.int64)
+    best_len = np.zeros(cands[0].size, dtype=np.int64)
+    best_off = np.zeros(cands[0].size, dtype=np.int64)
+    best_score = np.full(cands[0].size, -(1 << 30), dtype=np.int64)
+    for cand in cands:
+        offset = pos_all - cand
+        ok = (cand >= 0) & (offset <= max_offset) & (pos_all <= n - 8)
+        mlen = np.zeros(cand.size, dtype=np.int64)
+        vidx = np.where(ok)[0]
+        if vidx.size:
+            limit = n - pos_all[vidx]
+            mlen[vidx] = lz4block._match_lengths(s, pos_all[vidx],
+                                                 cand[vidx], limit)
+        # price-aware selection: ~8 bits saved per matched byte minus the
+        # offset-code extra bits (ZSTD_selectBlockCompressor analog of
+        # weighing match length against offset cost)
+        score = 8 * mlen - seq_mod.floor_log2(np.maximum(offset, 1))
+        score = np.where(mlen >= 4, score, -(1 << 30))
+        better = score > best_score
+        best_score = np.where(better, score, best_score)
+        best_len = np.where(better, mlen, best_len)
+        best_off = np.where(better, offset, best_off)
+    mlen = best_len
+    offset = best_off
+    valid = mlen >= 4
     next_pos = np.where(valid, pos_all + mlen, pos_all + 1)
     full_next = np.full(n, n, dtype=np.int64)
     full_next[: next_pos.size] = next_pos
@@ -163,6 +180,49 @@ def _literals_comp_header(regen: int, csize: int, four: bool):
 # Sequences section encode
 # ---------------------------------------------------------------------------
 
+def _offset_values_with_reps(ll: np.ndarray, moff: np.ndarray,
+                             rep: list) -> np.ndarray:
+    """Map offsets to Offset_Values, using repeat-offset codes 1-3 when the
+    offset matches the history (RFC 8878 3.1.1.3.2.1.1 update rules,
+    mirrored from the decoder's resolve_offsets). `rep` is the frame-wide
+    history, mutated in place (it persists across blocks)."""
+    n = moff.size
+    out = np.empty(n, dtype=np.int64)
+    r0, r1, r2 = rep
+    for i in range(n):
+        off = int(moff[i])
+        has_lit = int(ll[i]) != 0
+        if has_lit:
+            if off == r0:
+                out[i] = 1
+                continue
+            if off == r1:
+                out[i] = 2
+                r1, r0 = r0, off
+                continue
+            if off == r2:
+                out[i] = 3
+                r2, r1, r0 = r1, r0, off
+                continue
+        else:
+            if off == r1:
+                out[i] = 1
+                r1, r0 = r0, off
+                continue
+            if off == r2:
+                out[i] = 2
+                r2, r1, r0 = r1, r0, off
+                continue
+            if off == r0 - 1:
+                out[i] = 3
+                r2, r1, r0 = r1, r0, off
+                continue
+        out[i] = off + 3
+        r2, r1, r0 = r1, r0, off
+    rep[0], rep[1], rep[2] = r0, r1, r2
+    return out
+
+
 def _seq_count_bytes(nseq: int) -> bytes:
     if nseq < 128:
         return bytes([nseq])
@@ -241,7 +301,7 @@ class _EncState:
 
 
 def _encode_sequences(ll: np.ndarray, moff: np.ndarray,
-                      ml: np.ndarray) -> bytes:
+                      ml: np.ndarray, rep: list) -> bytes:
     """Emit a Sequences_Section for matches (offset in plain form)."""
     nseq = ml.size
     out = bytearray(_seq_count_bytes(nseq))
@@ -250,7 +310,7 @@ def _encode_sequences(ll: np.ndarray, moff: np.ndarray,
 
     ll_codes = seq_mod.ll_code_of(ll)
     ml_codes = seq_mod.ml_code_of(ml)
-    of_values = moff + 3
+    of_values = _offset_values_with_reps(ll, moff, rep)
     of_codes = seq_mod.of_code_of(of_values)
 
     ll_mode, ll_hdr, ll_ct = _choose_table(
@@ -305,10 +365,13 @@ def _encode_sequences(ll: np.ndarray, moff: np.ndarray,
 # Block + frame drivers
 # ---------------------------------------------------------------------------
 
-def compress_block_body(s: np.ndarray, hashlog: int) -> bytes | None:
+def compress_block_body(s: np.ndarray, hashlog: int,
+                        rep: list | None = None,
+                        depth: int = 2) -> bytes | None:
     """Build a Compressed_Block body; None if expansion (caller emits raw)."""
     n = s.size
-    mpos, mlen, moff = _find_sequences(s, hashlog, max_offset=n)
+    mpos, mlen, moff = _find_sequences(s, hashlog, max_offset=n,
+                                       depth=depth)
     if mpos.size:
         lit_starts = np.concatenate([[0], mpos + mlen])
         lit_lens = np.concatenate([mpos, [n]]) - lit_starts
@@ -321,8 +384,10 @@ def compress_block_body(s: np.ndarray, hashlog: int) -> bytes | None:
     else:
         ll = np.empty(0, dtype=np.int64)
         lits = s
+    if rep is None:
+        rep = [1, 4, 8]
     lit_sec = _encode_literals(lits)
-    seq_sec = _encode_sequences(ll, moff, mlen)
+    seq_sec = _encode_sequences(ll, moff, mlen, rep)
     body = lit_sec + seq_sec
     if len(body) >= n:
         return None
@@ -346,10 +411,12 @@ def compress(data: bytes, level: int = 3, checksum: bool = True,
     s = np.frombuffer(data, dtype=np.uint8)
     n = s.size
     hashlog = 16 if level <= 3 else 17
+    depth = 1 if level <= 1 else 2
     out = bytearray(write_frame_header(n, checksum=checksum))
     if n == 0:
         out += bytes([0x01, 0x00, 0x00])  # last, raw, size 0
     else:
+        rep = [1, 4, 8]  # repeat-offset history persists across blocks
         nblocks = -(-n // block_size)
         for b in range(nblocks):
             chunk = s[b * block_size:(b + 1) * block_size]
@@ -359,7 +426,7 @@ def compress(data: bytes, level: int = 3, checksum: bool = True,
                 out += bh.to_bytes(3, "little")
                 out.append(int(chunk[0]))
                 continue
-            body = compress_block_body(chunk, hashlog)
+            body = compress_block_body(chunk, hashlog, rep, depth)
             if body is None:
                 bh = last | (0 << 1) | (chunk.size << 3)
                 out += bh.to_bytes(3, "little")
