@@ -1,23 +1,30 @@
 #!/usr/bin/env python3
 """Benchmark driver: prints ONE JSON line for the graft driver.
 
-Measures the full on-device LZ4 encode pipeline (batched match finding +
-greedy parse + token emission — compressed bytes are produced in HBM) on
-the deterministic mixed corpus, then pulls the outputs once and verifies
-bit-exact round-trip of every block.
+Measures the on-device LZ4 encode pipeline (batched match finding +
+greedy parse + token emission, compressed bytes produced in HBM) on the
+deterministic mixed corpus, then verifies bit-exact round-trip of every
+block.
 
-vs_baseline compares against the reference 7zz single-core lz4:x1 encode
-MB/s measured on this machine over the same corpus (BASELINE.md,
-"Measured local baseline"). Note: this dev environment reaches the TPU
-over a ~12 MB/s relay tunnel, so host<->device staging is excluded from
-the steady-state rate (data-resident model, as in production where the
-chip is fed over PCIe/ICI); staging time is reported in detail.
+Timing is honest-by-construction: every timed iteration ends with a
+device->host fetch of the per-block used-bytes vector, which forces the
+computation to complete (jax block_until_ready alone does NOT synchronize
+on the axon remote-TPU platform). vs_baseline compares against the
+reference 7zz single-core lz4:x1 encode rate measured on this machine
+over the same corpus (BASELINE.md).
+
+The axon dev tunnel (and its TPU worker) can be unstable; a watchdog
+thread bounds every phase and falls back to the host-JAX (CPU) build of
+the same pipeline so the driver always gets a result line, with the
+platform recorded in detail.platform.
 """
 
 import json
 import os
 import sys
+import threading
 import time
+import traceback
 
 import numpy as np
 
@@ -25,7 +32,8 @@ REF_LZ4_ENC_MBS = 124.2  # 7zz -mmt=1 -m0=lz4:x1, same corpus, this host
 
 CORPUS_PATH = "/tmp/tpu7z_bench_corpus.bin"
 CORPUS_SIZE = 32 << 20
-BENCH_MB = 16  # staged subset (tunnel-limited staging)
+BENCH_MB = 4
+PHASE_TIMEOUT = 240  # seconds per phase before CPU fallback
 
 
 def get_corpus() -> bytes:
@@ -39,15 +47,33 @@ def get_corpus() -> bytes:
     return data
 
 
-def main():
+def _run_with_timeout(fn, timeout, *args):
+    """Run fn in a thread; returns (ok, result|exc)."""
+    box = {}
+
+    def runner():
+        try:
+            box["r"] = fn(*args)
+        except Exception as e:  # noqa
+            box["e"] = e
+    t = threading.Thread(target=runner, daemon=True)
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        return False, TimeoutError(f"phase exceeded {timeout}s")
+    if "e" in box:
+        return False, box["e"]
+    return True, box.get("r")
+
+
+def bench_pipeline(data: bytes, platform: str):
     import jax
     import jax.numpy as jnp
     from tpu7z.ops import lz4_emit_jax, match_jax
     from tpu7z.models.lz4 import block as blockmod
 
-    data = get_corpus()[: BENCH_MB << 20]
     N = 1 << 16
-    B = 16  # 1 MiB per batch
+    B = 8  # 512 KiB batches keep per-call latency low on the tunnel
     BUF = lz4_emit_jax.buf_size(N)
     nbatches = len(data) // (B * N)
     lengths = jnp.asarray(np.full(B, N, np.int32))
@@ -57,48 +83,61 @@ def main():
         sel, ml, mo = match_jax.find_matches(blocks, lengths)
         return lz4_emit_jax.emit_blocks(blocks, lengths, sel, ml, mo, N=N)
 
-    # stage input on device (one-time; tunnel-limited in this dev env)
-    t_stage0 = time.time()
     staged = []
     for i in range(nbatches):
         chunk = np.frombuffer(data[i * B * N:(i + 1) * B * N],
                               dtype=np.uint8).reshape(B, N)
         staged.append(jax.device_put(jnp.asarray(chunk)))
-    jax.block_until_ready(staged)
-    t_stage = time.time() - t_stage0
 
-    # compile
+    # compile + settle (forced fetch)
     out, used = encode(staged[0], lengths)
-    jax.block_until_ready((out, used))
+    _ = np.asarray(used)
 
-    # steady-state device throughput
+    # steady state: each iteration force-synchronized by fetching `used`
     t0 = time.time()
-    results = []
+    used_all = []
     for i in range(nbatches):
-        results.append(encode(staged[i], lengths))
-    jax.block_until_ready(results)
+        out, used = encode(staged[i], lengths)
+        used_all.append(np.asarray(used))
     dt = time.time() - t0
     enc_mbs = len(data) / dt / 1e6
 
-    # pull outputs once; verify every block round-trips bit-exactly
+    # verification pass: pull outputs, decode every block bit-exactly
     comp_total = 0
-    ok = True
     for i in range(nbatches):
-        outf = np.asarray(results[i][0])
-        usedh = np.asarray(results[i][1])
+        out, used = encode(staged[i], lengths)
+        outf = np.asarray(out)
+        usedh = np.asarray(used)
         for b in range(B):
             comp = outf[b * BUF:b * BUF + usedh[b]].tobytes()
             comp_total += min(len(comp), N + 4)
             orig = data[(i * B + b) * N:(i * B + b + 1) * N]
             if blockmod.decompress_block(comp, dst_size=N) != orig:
-                ok = False
-    if not ok:
-        print(json.dumps({"metric": "lz4_encode_MBps_per_chip", "value": 0,
-                          "unit": "MB/s", "vs_baseline": 0,
-                          "error": "round-trip mismatch"}))
-        return 1
+                raise RuntimeError(f"round-trip mismatch batch {i} blk {b}")
+    return enc_mbs, comp_total, str(jax.devices()[0])
 
-    result = {
+
+def main():
+    data = get_corpus()[: BENCH_MB << 20]
+
+    ok, res = _run_with_timeout(bench_pipeline, PHASE_TIMEOUT, data, "tpu")
+    platform = "tpu-axon"
+    if not ok:
+        # fall back to host-CPU JAX build of the identical pipeline
+        sys.stderr.write(f"tpu path failed ({res}); falling back to cpu\n")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        ok, res = _run_with_timeout(bench_pipeline, PHASE_TIMEOUT, data,
+                                    "cpu")
+        platform = "cpu-fallback"
+        if not ok:
+            print(json.dumps({
+                "metric": "lz4_encode_MBps_per_chip", "value": 0,
+                "unit": "MB/s", "vs_baseline": 0,
+                "error": f"{type(res).__name__}: {res}"}))
+            return 1
+    enc_mbs, comp_total, device = res
+    print(json.dumps({
         "metric": "lz4_encode_MBps_per_chip",
         "value": round(enc_mbs, 1),
         "unit": "MB/s",
@@ -106,12 +145,12 @@ def main():
         "detail": {
             "corpus_MB": len(data) / 1e6,
             "ratio": round(len(data) / comp_total, 3),
-            "stage_seconds": round(t_stage, 1),
-            "device": str(jax.devices()[0]),
+            "platform": platform,
+            "device": device,
             "verified": "all blocks bit-exact round-trip",
+            "timing": "forced device->host fetch per iteration",
         },
-    }
-    print(json.dumps(result))
+    }))
     return 0
 
 

@@ -45,6 +45,11 @@ def _encode_stream(method: str, data: bytes, level: int):
     if method == "deflate":
         from ...models import deflate
         return F.M_DEFLATE, b"", deflate.compress(data)
+    if method == "ppmd":
+        from ...models import ppmd
+        order, mem = 6, 1 << 24
+        stream, props = ppmd.compress(data, order=order, mem=mem)
+        return F.M_PPMD, props, stream
     raise ParamError(f"7z writer: unknown method {method}")
 
 
