@@ -23,7 +23,8 @@ from ..utils.errors import TpuzError
 
 _EXT_TYPES = {
     ".7z": "7z", ".zst": "zstd", ".lz4": "lz4", ".xz": "xz",
-    ".bz2": "bzip2", ".gz": "gzip", ".tar": "tar",
+    ".bz2": "bzip2", ".gz": "gzip", ".tar": "tar", ".br": "brotli",
+    ".lz5": "lz5", ".liz": "lizard", ".lizard": "lizard",
 }
 
 
@@ -44,6 +45,10 @@ def _sniff_type(path: str, data: bytes | None = None) -> str:
             return "bzip2"
         if data[:2] == b"\x1f\x8b":
             return "gzip"
+        if data[:4] == b"\x05\x22\x4d\x18":
+            return "lz5"
+        if data[:4] == b"\x06\x22\x4d\x18":
+            return "lizard"
     return "7z"
 
 
@@ -217,7 +222,7 @@ def cmd_info(opts: Options, args):
     print("\nHashers:")
     for name in sorted(HASHERS):
         print(f"  {name}")
-    print("\nFormats: 7z zstd lz4 xz bzip2 gzip")
+    print("\nFormats: 7z zstd lz4 lz5 lizard brotli xz bzip2 gzip tar zip")
     return 0
 
 

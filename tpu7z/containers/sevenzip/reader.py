@@ -485,6 +485,9 @@ def _run_decoder(coder: Coder, ins: list[bytes], out_size: int,
     if mid == F.M_SPARC:
         from ...models.filters import bcj
         return bcj.bcj_sparc_decode(data)[:out_size]
+    if mid == F.M_BROTLI:
+        from ...models import brotli
+        return brotli.decompress_mt_container(data)
     if mid == F.M_PPMD:
         from ...models import ppmd
         return ppmd.decompress(data, coder.props, out_size)

@@ -45,6 +45,10 @@ def _encode_stream(method: str, data: bytes, level: int):
     if method == "deflate":
         from ...models import deflate
         return F.M_DEFLATE, b"", deflate.compress(data)
+    if method == "brotli":
+        from ...models import brotli
+        return F.M_BROTLI, bytes([1, 2, min(level, 11), 0, 0]), \
+            brotli.compress_mt_container(data)
     if method == "ppmd":
         from ...models import ppmd
         order, mem = 6, 1 << 24

@@ -121,6 +121,41 @@ _register("xz", 0x21, _xz_c, _xz_d, (1, 9))
 _register("gzip", 0x040108, _gzip_c, _gzip_d, (1, 9))
 
 
+def _brotli_c(data, level=5, **kw):
+    from . import brotli
+    return brotli.compress_mt_container(data, quality=min(level, 11))
+
+
+def _brotli_d(data, **kw):
+    from . import brotli
+    return brotli.decompress_mt_container(data)
+
+
+def _lz5_c(data, level=1, **kw):
+    from . import lz5
+    return lz5.compress_frame(data)
+
+
+def _lz5_d(data, **kw):
+    from . import lz5
+    return lz5.decompress(data)
+
+
+def _lizard_c(data, level=11, **kw):
+    from . import lizard
+    return lizard.compress_frame(data)
+
+
+def _lizard_d(data, **kw):
+    from . import lizard
+    return lizard.decompress(data)
+
+
+_register("brotli", 0x4F71102, _brotli_c, _brotli_d, (0, 11))
+_register("lz5", 0x4F71105, _lz5_c, _lz5_d, (1, 15))
+_register("lizard", 0x4F71106, _lizard_c, _lizard_d, (10, 49))
+
+
 def get_codec(name: str) -> CodecInfo:
     try:
         return CODECS[name.lower()]
