@@ -160,8 +160,10 @@ def _read_prefix_code(r: _Reader, alphabet_size: int) -> _Huff:
             syms.sort()
             return _Huff([1, 1], syms)
         if nsym == 3:
-            # canonical over sorted symbols: lengths 1,2,2
-            return _Huff([1, 2, 2], sorted(syms))
+            # first-read symbol keeps the 1-bit code; the other two are
+            # sorted (BrotliBuildSimpleHuffmanTable case semantics)
+            b, c = sorted(syms[1:])
+            return _Huff([1, 2, 2], [syms[0], b, c])
         # nsym == 4: tree-select
         tree = r.bit()
         if tree:
