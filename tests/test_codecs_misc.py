@@ -116,3 +116,41 @@ def test_bcj_arm64_roundtrip():
     w[::5] = (0x94000000 | (w[::5] & 0x03FFFFFF)).astype(np.uint32)
     buf = w.astype("<u4").tobytes()
     assert bcj.bcj_arm64_decode(bcj.bcj_arm64_encode(buf)) == buf
+
+
+def test_bcj_armt_matches_liblzma():
+    rng = np.random.default_rng(21)
+    buf = bytearray(rng.integers(0, 256, 30000, dtype=np.uint8).tobytes())
+    for i in range(0, len(buf) - 4, 24):
+        buf[i + 1] = 0xF0 | (buf[i + 1] & 7)
+        buf[i + 3] = 0xF8 | (buf[i + 3] & 7)
+    buf = bytes(buf)
+    c = lzma.compress(buf, format=lzma.FORMAT_RAW, filters=[
+        {"id": lzma.FILTER_ARMTHUMB}, {"id": lzma.FILTER_LZMA2, "preset": 0}])
+    mid = lzma.decompress(c, format=lzma.FORMAT_RAW, filters=[
+        {"id": lzma.FILTER_LZMA2, "preset": 0}])
+    assert bcj.bcj_armt_encode(buf) == mid
+    assert bcj.bcj_armt_decode(mid) == buf
+
+
+def test_bcj_ia64_matches_liblzma():
+    rng = np.random.default_rng(22)
+    buf = bytearray(rng.integers(0, 256, 32000, dtype=np.uint8).tobytes())
+    for i in range(0, len(buf), 16):
+        buf[i] = (buf[i] & ~0x1F) | int(rng.integers(16, 32))
+    buf = bytes(buf)
+    c = lzma.compress(buf, format=lzma.FORMAT_RAW, filters=[
+        {"id": lzma.FILTER_IA64}, {"id": lzma.FILTER_LZMA2, "preset": 0}])
+    mid = lzma.decompress(c, format=lzma.FORMAT_RAW, filters=[
+        {"id": lzma.FILTER_LZMA2, "preset": 0}])
+    assert bcj.bcj_ia64_encode(buf) == mid
+    assert bcj.bcj_ia64_decode(mid) == buf
+
+
+def test_swap_filters():
+    rng = np.random.default_rng(23)
+    d = rng.integers(0, 256, 1001, dtype=np.uint8).tobytes()
+    assert bcj.swap2(bcj.swap2(d)) == d
+    assert bcj.swap4(bcj.swap4(d)) == d
+    assert bcj.swap2(b"abcd") == b"badc"
+    assert bcj.swap4(b"abcd") == b"dcba"

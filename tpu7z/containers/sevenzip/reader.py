@@ -485,6 +485,18 @@ def _run_decoder(coder: Coder, ins: list[bytes], out_size: int,
     if mid == F.M_SPARC:
         from ...models.filters import bcj
         return bcj.bcj_sparc_decode(data)[:out_size]
+    if mid == F.M_ARMT:
+        from ...models.filters import bcj
+        return bcj.bcj_armt_decode(data)[:out_size]
+    if mid == F.M_IA64:
+        from ...models.filters import bcj
+        return bcj.bcj_ia64_decode(data)[:out_size]
+    if mid == F.M_SWAP2:
+        from ...models.filters import bcj
+        return bcj.swap2(data)[:out_size]
+    if mid == F.M_SWAP4:
+        from ...models.filters import bcj
+        return bcj.swap4(data)[:out_size]
     if mid == F.M_BROTLI:
         from ...models import brotli
         return brotli.decompress_mt_container(data)

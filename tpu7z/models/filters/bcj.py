@@ -202,3 +202,96 @@ FILTERS = {
     "ppc": (bcj_ppc_encode, bcj_ppc_decode),
     "sparc": (bcj_sparc_encode, bcj_sparc_decode),
 }
+
+
+def _armt_convert(data: bytes, ip: int, encoding: bool) -> bytes:
+    """ARM Thumb BL pairs (halfwords 0xF0xx 0xF8xx); 22-bit halfword
+    displacement. Pairs cannot overlap (second halfword can't start a
+    pair), so detection + rewrite is fully vectorizable."""
+    s = np.frombuffer(data, dtype=np.uint8).copy()
+    n = s.size
+    if n < 4:
+        return data
+    q = np.arange(0, n - 3, 2)
+    hit = ((s[q + 1] & 0xF8) == 0xF0) & ((s[q + 3] & 0xF8) == 0xF8)
+    idx = q[hit]
+    if idx.size == 0:
+        return data
+    hi = s[idx].astype(np.uint32) | (s[idx + 1].astype(np.uint32) << 8)
+    lo = s[idx + 2].astype(np.uint32) | (s[idx + 3].astype(np.uint32) << 8)
+    v = ((hi << np.uint32(11)) | (lo & np.uint32(0x7FF)))
+    c = ((idx + 4 + ip) >> 1).astype(np.uint32)
+    v = (v + c) if encoding else (v - c)
+    new_hi = ((v >> np.uint32(11)) & np.uint32(0x7FF)) | np.uint32(0xF000)
+    new_lo = (v & np.uint32(0x7FF)) | np.uint32(0xF800)
+    s[idx] = (new_hi & 0xFF).astype(np.uint8)
+    s[idx + 1] = (new_hi >> 8).astype(np.uint8)
+    s[idx + 2] = (new_lo & 0xFF).astype(np.uint8)
+    s[idx + 3] = (new_lo >> 8).astype(np.uint8)
+    return s.tobytes()
+
+
+_IA64_BRANCH_TABLE = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                      4, 4, 6, 6, 0, 0, 7, 7, 4, 4, 0, 0, 4, 4, 0, 0)
+
+
+def _ia64_convert(data: bytes, ip: int, encoding: bool) -> bytes:
+    """IA64 branch conversion over 16-byte bundles (3 x 41-bit slots)."""
+    buf = bytearray(data)
+    n = len(buf) & ~15
+    for i in range(0, n, 16):
+        mask = _IA64_BRANCH_TABLE[buf[i] & 0x1F]
+        if not mask:
+            continue
+        bit_pos = 5
+        for slot in range(3):
+            if (mask >> slot) & 1:
+                byte_pos = bit_pos >> 3
+                bit_res = bit_pos & 7
+                instr = int.from_bytes(buf[i + byte_pos:i + byte_pos + 6],
+                                       "little")
+                inst_norm = instr >> bit_res
+                if ((inst_norm >> 37) & 0xF) == 5 \
+                        and ((inst_norm >> 9) & 0x7) == 0:
+                    src = (inst_norm >> 13) & 0xFFFFF
+                    src |= ((inst_norm >> 36) & 1) << 20
+                    src <<= 4
+                    if encoding:
+                        dest = (src + ip + i) & 0xFFFFFFFF
+                    else:
+                        dest = (src - ip - i) & 0xFFFFFFFF
+                    dest >>= 4
+                    inst_norm &= ~(0x8FFFFF << 13)
+                    inst_norm |= (dest & 0xFFFFF) << 13
+                    inst_norm |= (dest & 0x100000) << (36 - 20)
+                    instr &= (1 << bit_res) - 1
+                    instr |= inst_norm << bit_res
+                    buf[i + byte_pos:i + byte_pos + 6] = \
+                        (instr & ((1 << 48) - 1)).to_bytes(6, "little")
+            bit_pos += 41
+    return bytes(buf)
+
+
+def swap2(data: bytes) -> bytes:
+    """SWAP2 filter (C/SwapBytes.c): 16-bit byte swap, self-inverse."""
+    s = np.frombuffer(data, dtype=np.uint8)
+    n = s.size & ~1
+    out = s.copy()
+    out[0:n:2], out[1:n:2] = s[1:n:2], s[0:n:2]
+    return out.tobytes()
+
+
+def swap4(data: bytes) -> bytes:
+    """SWAP4 filter: 32-bit byte swap, self-inverse."""
+    s = np.frombuffer(data, dtype=np.uint8)
+    n = s.size & ~3
+    out = s.copy()
+    out[:n] = s[:n].reshape(-1, 4)[:, ::-1].reshape(-1)
+    return out.tobytes()
+
+
+bcj_armt_encode, bcj_armt_decode = _mk(_armt_convert)
+bcj_ia64_encode, bcj_ia64_decode = _mk(_ia64_convert)
+
+FILTERS["armt"] = (bcj_armt_encode, bcj_armt_decode)
+FILTERS["ia64"] = (bcj_ia64_encode, bcj_ia64_decode)
