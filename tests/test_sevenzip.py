@@ -118,3 +118,40 @@ def test_read_reference_filter_chain(tmp_path, files):
                     str(tmp_path / "b.bin")], capture_output=True, check=True)
     out = SevenZipReader(arc.read_bytes()).extract_all()
     assert out["b.bin"] == files["b.bin"]
+
+
+@requires_ref
+def test_bcj2_writer_reference_extracts(tmp_path):
+    rng = np.random.default_rng(31)
+    buf = bytearray(rng.integers(0, 256, 50000, dtype=np.uint8).tobytes())
+    for i in range(0, len(buf) - 10, 50):
+        buf[i] = 0xE8
+        buf[i + 4] = 0x00
+    files = {"prog.bin": bytes(buf)}
+    arc = tmp_path / "b2.7z"
+    arc.write_bytes(write_archive(files, method="bcj2"))
+    out = SevenZipReader(arc.read_bytes()).extract_all()
+    assert out == files
+    r = subprocess.run([REF_7ZZ, "t", str(arc)], capture_output=True)
+    assert b"Everything is Ok" in r.stdout
+    outdir = tmp_path / "x"
+    subprocess.run([REF_7ZZ, "x", "-y", f"-o{outdir}", str(arc)],
+                   capture_output=True, check=True)
+    assert (outdir / "prog.bin").read_bytes() == files["prog.bin"]
+
+
+@requires_ref
+def test_decode_reference_bcj2_folder(tmp_path):
+    """Reference -mf=BCJ2 produces the 4-coder folder graph
+    (LZMA+LZMA+LZMA2 feeding BCJ2's four inputs)."""
+    elf = open(REF_7ZZ, "rb").read()[:200000]
+    src = tmp_path / "prog"
+    src.write_bytes(elf)
+    arc = tmp_path / "e.7z"
+    r = subprocess.run([REF_7ZZ, "a", "-mf=BCJ2", str(arc), str(src)],
+                       capture_output=True)
+    assert r.returncode == 0
+    rd = SevenZipReader(arc.read_bytes())
+    assert any(c.method_id == 0x303011B
+               for f in rd.streams.folders for c in f.coders)
+    assert rd.extract_all()["prog"] == elf

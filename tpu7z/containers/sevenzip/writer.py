@@ -57,6 +57,25 @@ def _encode_stream(method: str, data: bytes, level: int):
     raise ParamError(f"7z writer: unknown method {method}")
 
 
+def _encode_bcj2_folder(blob: bytes, pack_streams: list):
+    """BCJ2 folder: 4-stream x86 split, main stream LZMA2-compressed
+    (7zUpdate.cpp exe-group layout)."""
+    from ...models.filters.bcj2 import bcj2_encode
+    from ...models.lzma import lzma2 as lzma2_mod
+    main, call, jump, rc = bcj2_encode(blob)
+    packed_main = lzma2_mod.compress(main)
+    base = len(pack_streams)
+    pack_streams += [packed_main, call, jump, rc]
+    return {
+        # coder0 = BCJ2 (4 in, 1 out); coder1 = LZMA2 feeding bcj2.in0
+        "coders": [(F.M_BCJ2, b"", 4, 1), (F.M_LZMA2, bytes([24]), 1, 1)],
+        "bind": [(0, 1)],
+        "packed_indices": [4, 1, 2, 3],
+        "sizes": [len(blob), len(main)],
+        "crc": _crc32(blob),
+    }
+
+
 def write_archive(files: dict[str, bytes], method: str = "lzma2",
                   level: int = 5, solid: bool = True,
                   password: str | None = None) -> bytes:
@@ -77,6 +96,13 @@ def write_archive(files: dict[str, bytes], method: str = "lzma2",
     sub_crcs = []
     for grp in groups:
         blob = b"".join(files[n] for n in grp)
+        if method == "bcj2" and password is None:
+            folders.append(_encode_bcj2_folder(blob, pack_streams))
+            sub_counts.append(len(grp))
+            for n in grp:
+                sub_sizes.append(len(files[n]))
+                sub_crcs.append(_crc32(files[n]))
+            continue
         mid, props, packed = _encode_stream(method, blob, level)
         if password is not None:
             from . import aes7z
@@ -209,13 +235,18 @@ def _build_header(names, files, empty, folders, pack_streams,
 def _write_folder(w: ByteWriter, f: dict):
     coders = f["coders"]
     w.number(len(coders))
-    for mid, props, _nin, _nout in coders:
+    for mid, props, nin, nout in coders:
         id_bytes = mid.to_bytes(max((mid.bit_length() + 7) // 8, 1), "big")
         flags = len(id_bytes)
+        if nin != 1 or nout != 1:
+            flags |= 0x10
         if props:
             flags |= 0x20
         w.byte(flags)
         w.raw(id_bytes)
+        if nin != 1 or nout != 1:
+            w.number(nin)
+            w.number(nout)
         if props:
             w.number(len(props))
             w.raw(props)
