@@ -49,6 +49,19 @@ def decompress_block(src, dst_size: int | None = None) -> bytes:
     s = np.frombuffer(bytes(src), dtype=np.uint8)
     n = s.size
     cap = dst_size if dst_size is not None else _decoded_bound(n)
+    if dst_size is not None:
+        try:
+            from ... import native as _native_mod
+            lib = _native_mod._load()
+        except Exception:
+            lib = None
+        if lib is not None:
+            import ctypes
+            buf = ctypes.create_string_buffer(dst_size)
+            r = lib.tz_lz4_decode(bytes(src), n, buf, dst_size)
+            if r < 0 or r != dst_size:
+                raise CorruptError(f"lz4: decoded {r}, expected {dst_size}")
+            return buf.raw
     out = np.empty(cap, dtype=np.uint8)
     ip = 0
     op = 0

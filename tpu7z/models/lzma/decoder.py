@@ -53,25 +53,53 @@ def _decode_len(rc: RangeDecoder, lp: _LenProbs, pos_state: int) -> int:
 
 class LzmaDecoder:
     """Stateful LZMA1 decoder over a shared output window (LZMA2 reuses
-    the window and optionally the probability state across chunks)."""
+    the window and optionally the probability state across chunks).
+    Uses the native C++ range decoder (tpu7z/native) when available; the
+    Python path below is the bit-exact reference implementation."""
 
     def __init__(self, lc: int, lp: int, pb: int, out_capacity: int):
         if lc > 8 or lp > 4 or pb > 4:
             raise CorruptError("lzma: bad lc/lp/pb")
         self.lc, self.lp, self.pb = lc, lp, pb
-        self.probs = _Probs(lc, lp)
+        self._native = None
+        self._native_lib = None
+        try:
+            from ... import native as _native_mod
+            lib = _native_mod._load()
+            if lib is not None:
+                self._native_lib = lib
+                self._native = lib.tz_lzma_new(lc, lp, pb)
+        except Exception:
+            pass
+        if self._native is None:
+            self.probs = _Probs(lc, lp)
         self.state = 0
         self.reps = [0, 0, 0, 0]
         self.out = np.zeros(out_capacity, dtype=np.uint8)
         self.pos = 0  # global window position
 
+    def __del__(self):
+        if getattr(self, "_native", None) is not None:
+            try:
+                self._native_lib.tz_lzma_free(self._native)
+            except Exception:
+                pass
+
     def reset_state(self):
+        if self._native is not None:
+            self._native_lib.tz_lzma_reset_state(self._native)
+            return
         self.probs = _Probs(self.lc, self.lp)
         self.state = 0
         self.reps = [0, 0, 0, 0]
 
     def reset_props(self, lc: int, lp: int, pb: int):
         self.lc, self.lp, self.pb = lc, lp, pb
+        if self._native is not None:
+            self._native_lib.tz_lzma_reset_props(self._native, lc, lp, pb)
+            self.state = 0
+            self.reps = [0, 0, 0, 0]
+            return
         self.reset_state()
 
     def _grow(self, need: int):
@@ -84,6 +112,30 @@ class LzmaDecoder:
                      expect_end_marker: bool = False):
         """Decode until `limit` output bytes produced (or end marker when
         limit is None). Returns bytes consumed from src."""
+        if self._native is not None and limit is None:
+            # unknown-size (end-marker) decode happens only at stream
+            # start; fall back to the Python engine from fresh state
+            self._native_lib.tz_lzma_free(self._native)
+            self._native = None
+            self.probs = _Probs(self.lc, self.lp)
+            self.state = 0
+            self.reps = [0, 0, 0, 0]
+        if self._native is not None and limit is not None:
+            import ctypes
+            self._grow(self.pos + limit)
+            buf = self.out.ctypes.data_as(ctypes.c_void_p)
+            r = self._native_lib.tz_lzma_decode_chunk(
+                self._native, bytes(src), len(src), buf,
+                self.pos, limit)
+            if r == -1:
+                raise CorruptError("lzma: native decode error")
+            if r == -2:
+                # end marker before limit: acceptable only when expected
+                if not expect_end_marker:
+                    raise CorruptError("lzma: unexpected end marker")
+                return len(src)
+            self.pos += limit
+            return int(r)
         rc = RangeDecoder(src)
         pb_mask = (1 << self.pb) - 1
         lp_mask = (1 << self.lp) - 1

@@ -1,0 +1,66 @@
+"""Native host runtime bindings (ctypes over tpu7z_native.cpp).
+
+The C++ library provides the host-side hot loops (hashers, LZ4 decode,
+the LZMA range-decoder) — the CPU analog of the reference's C kernels.
+If the shared library is missing we try one `make` (g++ is part of the
+image toolchain); failing that, callers fall back to the numpy/Python
+reference implementations transparently.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_HERE = os.path.dirname(__file__)
+_SO = os.path.join(_HERE, "libtpu7z_native.so")
+
+LIB = None
+
+
+def _load():
+    global LIB
+    if LIB is not None:
+        return LIB
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", _HERE], capture_output=True,
+                           timeout=120, check=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.tz_xxh32.restype = ctypes.c_uint32
+    lib.tz_xxh32.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                             ctypes.c_uint32]
+    lib.tz_xxh64.restype = ctypes.c_uint64
+    lib.tz_xxh64.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                             ctypes.c_uint64]
+    lib.tz_crc32.restype = ctypes.c_uint32
+    lib.tz_crc32.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                             ctypes.c_uint32]
+    lib.tz_crc64.restype = ctypes.c_uint64
+    lib.tz_crc64.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                             ctypes.c_uint64]
+    lib.tz_lz4_decode.restype = ctypes.c_longlong
+    lib.tz_lz4_decode.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                  ctypes.c_void_p, ctypes.c_size_t]
+    lib.tz_lzma_new.restype = ctypes.c_void_p
+    lib.tz_lzma_new.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.tz_lzma_free.argtypes = [ctypes.c_void_p]
+    lib.tz_lzma_reset_state.argtypes = [ctypes.c_void_p]
+    lib.tz_lzma_reset_props.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                        ctypes.c_int, ctypes.c_int]
+    lib.tz_lzma_decode_chunk.restype = ctypes.c_longlong
+    lib.tz_lzma_decode_chunk.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64]
+    LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None

@@ -220,25 +220,31 @@ def crc64(data, crc: int = 0) -> int:
     return int(c ^ np.uint64(_M64))
 
 
-# Fast-path delegation: the image ships C xxhash/zlib modules; use them on
-# the host data path when present, keeping the above as the canonical
-# self-contained implementation (tests assert equality between both).
-try:  # pragma: no cover - environment dependent
-    import xxhash as _xxhash_mod
+# Fast-path delegation: prefer the tpu7z native C++ module (tpu7z/native),
+# keeping the numpy implementations above as the canonical self-contained
+# reference (tests assert equality between the tiers).
+def _bind_fast_paths():
+    try:
+        from .. import native as _native
+        lib = _native._load()
+    except Exception:  # pragma: no cover
+        lib = None
+    if lib is not None:
+        return (
+            lambda data, seed=0: lib.tz_xxh32(bytes(data), len(bytes(data)), seed),
+            lambda data, seed=0: lib.tz_xxh64(bytes(data), len(bytes(data)), seed),
+            lambda data, crc=0: lib.tz_crc32(bytes(data), len(bytes(data)), crc),
+            lambda data, crc=0: lib.tz_crc64(bytes(data), len(bytes(data)), crc),
+        )
+    try:  # pragma: no cover - environment dependent
+        import xxhash as _xxh
+        import zlib as _zlib
+        return (lambda d, seed=0: _xxh.xxh32_intdigest(bytes(d), seed),
+                lambda d, seed=0: _xxh.xxh64_intdigest(bytes(d), seed),
+                lambda d, crc=0: _zlib.crc32(bytes(d), crc),
+                crc64)
+    except ImportError:  # pragma: no cover
+        return xxh32, xxh64, crc32, crc64
 
-    def xxh32_fast(data, seed: int = 0) -> int:
-        return _xxhash_mod.xxh32_intdigest(bytes(data), seed)
 
-    def xxh64_fast(data, seed: int = 0) -> int:
-        return _xxhash_mod.xxh64_intdigest(bytes(data), seed)
-except ImportError:  # pragma: no cover
-    xxh32_fast = xxh32
-    xxh64_fast = xxh64
-
-try:  # pragma: no cover
-    import zlib as _zlib_mod
-
-    def crc32_fast(data, crc: int = 0) -> int:
-        return _zlib_mod.crc32(bytes(data), crc)
-except ImportError:  # pragma: no cover
-    crc32_fast = crc32
+xxh32_fast, xxh64_fast, crc32_fast, crc64_fast = _bind_fast_paths()
