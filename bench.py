@@ -32,7 +32,7 @@ REF_LZ4_ENC_MBS = 124.2  # 7zz -mmt=1 -m0=lz4:x1, same corpus, this host
 
 CORPUS_PATH = "/tmp/tpu7z_bench_corpus.bin"
 CORPUS_SIZE = 32 << 20
-BENCH_MB = 4
+BENCH_MB = 8
 PHASE_TIMEOUT = 240  # seconds per phase before CPU fallback
 
 
@@ -73,7 +73,7 @@ def bench_pipeline(data: bytes, platform: str):
     from tpu7z.models.lz4 import block as blockmod
 
     N = 1 << 16
-    B = 8  # 512 KiB batches keep per-call latency low on the tunnel
+    B = 32  # 2 MiB batches amortize the backend's per-op launch cost
     BUF = lz4_emit_jax.buf_size(N)
     nbatches = len(data) // (B * N)
     lengths = jnp.asarray(np.full(B, N, np.int32))
