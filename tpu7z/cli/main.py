@@ -63,6 +63,8 @@ class Options:
         self.stdout = False
         self.yes = False
         self.threads = None
+        self.slt = False
+        self.scrc = None
 
 
 def _parse_switches(args):
@@ -93,6 +95,10 @@ def _parse_switches(args):
             opts.stdout = True
         elif a == "-y":
             opts.yes = True
+        elif a == "-slt":
+            opts.slt = True
+        elif a.startswith("-scrc"):
+            opts.scrc = a[5:].lstrip("=") or "CRC32"
         elif a.startswith("-"):
             print(f"warning: ignoring switch {a}", file=sys.stderr)
         else:
@@ -165,6 +171,15 @@ def cmd_extract(opts: Options, args, test_only=False):
     atype, files, _rd = _open_archive(opts, path)
     if test_only:
         print(f"type={atype} files={len(files)}")
+        if opts.scrc:
+            from ..ops.hashers import HASHERS
+            names = ([opts.scrc] if opts.scrc != "*"
+                     else sorted(HASHERS))
+            for fname, content in files.items():
+                for hn in names:
+                    fn = HASHERS.get(hn.upper()) or HASHERS.get(hn)
+                    if fn:
+                        print(f"{hn} for data: {fn(content)}")
         print("Everything is Ok")
         return 0
     if opts.stdout:
@@ -191,6 +206,17 @@ def cmd_list(opts: Options, args):
     if atype == "7z":
         from ..containers.sevenzip import SevenZipReader
         rd = SevenZipReader(data, password=opts.password)
+        if opts.slt:
+            # machine-readable technical listing (-slt analog)
+            print("----------")
+            for fe in rd.files:
+                print(f"Path = {fe.name}")
+                print(f"Size = {fe.size}")
+                if fe.crc is not None:
+                    print(f"CRC = {fe.crc:08X}")
+                print(f"Folder = {'-' if not fe.has_stream else '+'}")
+                print()
+            return 0
         print(f"{'Size':>10}  {'CRC':>8}  Name")
         for fe in rd.files:
             crc = f"{fe.crc:08x}" if fe.crc is not None else "-"
