@@ -24,7 +24,6 @@ import os
 import sys
 import threading
 import time
-import traceback
 
 import numpy as np
 

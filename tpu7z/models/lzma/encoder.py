@@ -16,7 +16,7 @@ import numpy as np
 
 from ...utils.errors import ParamError
 from ..lz4 import block as lz4block
-from .decoder import NUM_STATES, _LenProbs, _Probs
+from .decoder import _LenProbs, _Probs
 from .rangecoder import RangeEncoder
 
 

@@ -13,8 +13,6 @@ buffer to keep encode/decode bit-compatible with the reference.
 
 from __future__ import annotations
 
-import numpy as np
-
 from ...utils.errors import CorruptError, ParamError
 
 MAX_O = 64

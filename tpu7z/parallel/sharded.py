@@ -55,7 +55,7 @@ def shard_compress_lz4(data: bytes, mesh: Mesh | None = None,
     preceded by a size-carrying skippable frame; C/zstdmt/README.md:9-17)
     so decode can re-shard without scanning."""
     from ..containers import skippable
-    from ..models.lz4 import jax_backend, block as blockmod, frame as framemod
+    from ..models.lz4 import jax_backend, block as blockmod
 
     if mesh is None:
         mesh = make_mesh()
