@@ -2,27 +2,27 @@
 """Benchmark driver: prints ONE JSON line for the graft driver.
 
 Measures the on-device LZ4 encode pipeline (batched match finding +
-greedy parse + token emission, compressed bytes produced in HBM) on the
-deterministic mixed corpus, then verifies bit-exact round-trip of every
-block.
+greedy parse + token emission — compressed bytes are produced in HBM) on
+the deterministic mixed corpus, then verifies bit-exact round-trip of
+every block.
 
 Timing is honest-by-construction: every timed iteration ends with a
 device->host fetch of the per-block used-bytes vector, which forces the
-computation to complete (jax block_until_ready alone does NOT synchronize
-on the axon remote-TPU platform). vs_baseline compares against the
-reference 7zz single-core lz4:x1 encode rate measured on this machine
-over the same corpus (BASELINE.md).
+computation to complete (jax block_until_ready alone does NOT
+synchronize on the axon remote-TPU platform; see docs/PERFORMANCE.md).
+vs_baseline compares against the reference 7zz single-core lz4:x1
+encode rate measured on this machine over the same corpus (BASELINE.md).
 
-The axon dev tunnel (and its TPU worker) can be unstable; a watchdog
-thread bounds every phase and falls back to the host-JAX (CPU) build of
-the same pipeline so the driver always gets a result line, with the
-platform recorded in detail.platform.
+The axon dev tunnel / TPU worker can hang or crash; each attempt runs in
+an isolated subprocess with a hard timeout, falling back from the TPU to
+the host-CPU JAX build of the identical pipeline, so the driver always
+gets a result line (detail.platform records which ran).
 """
 
 import json
 import os
+import subprocess
 import sys
-import threading
 import time
 
 import numpy as np
@@ -31,8 +31,9 @@ REF_LZ4_ENC_MBS = 124.2  # 7zz -mmt=1 -m0=lz4:x1, same corpus, this host
 
 CORPUS_PATH = "/tmp/tpu7z_bench_corpus.bin"
 CORPUS_SIZE = 32 << 20
-BENCH_MB = 8
-PHASE_TIMEOUT = 240  # seconds per phase before CPU fallback
+BENCH_MB = 4
+TPU_TIMEOUT = 420
+CPU_TIMEOUT = 420
 
 
 def get_corpus() -> bytes:
@@ -46,33 +47,17 @@ def get_corpus() -> bytes:
     return data
 
 
-def _run_with_timeout(fn, timeout, *args):
-    """Run fn in a thread; returns (ok, result|exc)."""
-    box = {}
-
-    def runner():
-        try:
-            box["r"] = fn(*args)
-        except Exception as e:  # noqa
-            box["e"] = e
-    t = threading.Thread(target=runner, daemon=True)
-    t.start()
-    t.join(timeout)
-    if t.is_alive():
-        return False, TimeoutError(f"phase exceeded {timeout}s")
-    if "e" in box:
-        return False, box["e"]
-    return True, box.get("r")
-
-
-def bench_pipeline(data: bytes, platform: str):
+def child(platform: str) -> int:
     import jax
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from tpu7z.ops import lz4_emit_jax, match_jax
     from tpu7z.models.lz4 import block as blockmod
 
+    data = get_corpus()[: BENCH_MB << 20]
     N = 1 << 16
-    B = 32  # 2 MiB batches amortize the backend's per-op launch cost
+    B = 16
     BUF = lz4_emit_jax.buf_size(N)
     nbatches = len(data) // (B * N)
     lengths = jnp.asarray(np.full(B, N, np.int32))
@@ -88,20 +73,16 @@ def bench_pipeline(data: bytes, platform: str):
                               dtype=np.uint8).reshape(B, N)
         staged.append(jax.device_put(jnp.asarray(chunk)))
 
-    # compile + settle (forced fetch)
     out, used = encode(staged[0], lengths)
-    _ = np.asarray(used)
+    _ = np.asarray(used)  # compile + settle
 
-    # steady state: each iteration force-synchronized by fetching `used`
     t0 = time.time()
-    used_all = []
     for i in range(nbatches):
         out, used = encode(staged[i], lengths)
-        used_all.append(np.asarray(used))
+        _ = np.asarray(used)  # forced sync
     dt = time.time() - t0
     enc_mbs = len(data) / dt / 1e6
 
-    # verification pass: pull outputs, decode every block bit-exactly
     comp_total = 0
     for i in range(nbatches):
         out, used = encode(staged[i], lengths)
@@ -112,40 +93,53 @@ def bench_pipeline(data: bytes, platform: str):
             comp_total += min(len(comp), N + 4)
             orig = data[(i * B + b) * N:(i * B + b + 1) * N]
             if blockmod.decompress_block(comp, dst_size=N) != orig:
-                raise RuntimeError(f"round-trip mismatch batch {i} blk {b}")
-    return enc_mbs, comp_total, str(jax.devices()[0])
+                raise RuntimeError(f"round-trip mismatch {i}/{b}")
+    print(json.dumps({
+        "enc_mbs": enc_mbs, "comp_total": comp_total,
+        "device": str(jax.devices()[0])}))
+    return 0
 
 
-def main():
-    data = get_corpus()[: BENCH_MB << 20]
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        return child(sys.argv[2])
 
-    ok, res = _run_with_timeout(bench_pipeline, PHASE_TIMEOUT, data, "tpu")
-    platform = "tpu-axon"
-    if not ok:
-        # fall back to host-CPU JAX build of the identical pipeline
-        sys.stderr.write(f"tpu path failed ({res}); falling back to cpu\n")
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-        ok, res = _run_with_timeout(bench_pipeline, PHASE_TIMEOUT, data,
-                                    "cpu")
-        platform = "cpu-fallback"
-        if not ok:
-            print(json.dumps({
-                "metric": "lz4_encode_MBps_per_chip", "value": 0,
-                "unit": "MB/s", "vs_baseline": 0,
-                "error": f"{type(res).__name__}: {res}"}))
-            return 1
-    enc_mbs, comp_total, device = res
+    get_corpus()  # ensure cached before timed children run
+    result = None
+    platform = None
+    for plat, timeout in (("tpu", TPU_TIMEOUT), ("cpu", CPU_TIMEOUT)):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", plat],
+                capture_output=True, timeout=timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            if r.returncode == 0 and r.stdout.strip():
+                result = json.loads(r.stdout.decode().strip().splitlines()[-1])
+                platform = plat
+                break
+            sys.stderr.write(f"{plat} child failed rc={r.returncode}: "
+                             f"{r.stderr.decode()[-300:]}\n")
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"{plat} child timed out after {timeout}s\n")
+        except Exception as e:  # noqa
+            sys.stderr.write(f"{plat} child error: {e}\n")
+    if result is None:
+        print(json.dumps({"metric": "lz4_encode_MBps_per_chip", "value": 0,
+                          "unit": "MB/s", "vs_baseline": 0,
+                          "error": "all bench platforms failed"}))
+        return 0
+    enc_mbs = result["enc_mbs"]
+    data_len = BENCH_MB << 20
     print(json.dumps({
         "metric": "lz4_encode_MBps_per_chip",
         "value": round(enc_mbs, 1),
         "unit": "MB/s",
         "vs_baseline": round(enc_mbs / REF_LZ4_ENC_MBS, 3),
         "detail": {
-            "corpus_MB": len(data) / 1e6,
-            "ratio": round(len(data) / comp_total, 3),
-            "platform": platform,
-            "device": device,
+            "corpus_MB": data_len / 1e6,
+            "ratio": round(data_len / result["comp_total"], 3),
+            "platform": "tpu-axon" if platform == "tpu" else "cpu-fallback",
+            "device": result["device"],
             "verified": "all blocks bit-exact round-trip",
             "timing": "forced device->host fetch per iteration",
         },

@@ -197,7 +197,7 @@ def _match_lengths(s: np.ndarray, pos: np.ndarray, cand: np.ndarray,
     mlen = np.full(pos.size, MIN_MATCH, dtype=np.int64)
     active = np.arange(pos.size)
     depth = MIN_MATCH
-    W = 16
+    W = 16  # widens geometrically: long runs converge in log passes
     while active.size:
         a = pos[active] + mlen[active]
         b = cand[active] + mlen[active]
@@ -218,6 +218,10 @@ def _match_lengths(s: np.ndarray, pos: np.ndarray, cand: np.ndarray,
         cont = (~any_mis) & (span == W) & (mlen[active] < limit[active])
         active = active[cont]
         depth += W
+        # widen geometrically, but keep the gather panel under a fixed
+        # memory budget (active_rows x W indices)
+        budget = 4_000_000
+        W = min(W * 2, 8192, max(16, budget // max(int(active.size), 1)))
         if depth > n:
             break
     return mlen
