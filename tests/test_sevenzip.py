@@ -155,3 +155,37 @@ def test_decode_reference_bcj2_folder(tmp_path):
     assert any(c.method_id == 0x303011B
                for f in rd.streams.folders for c in f.coders)
     assert rd.extract_all()["prog"] == elf
+
+
+def test_update_preserves_methods_and_contents(files):
+    """7zUpdate repack analog: untouched folders keep their packed bytes
+    (method preservation, reference bug #340 regression scenario)."""
+    from tpu7z.containers.sevenzip.writer import update_archive
+    arc = write_archive(files, method="zstd", solid=False)
+    arc2 = update_archive(arc, add={"d.txt": b"fresh " * 100},
+                          delete=["b.bin"], method="lzma2")
+    rd = SevenZipReader(arc2)
+    out = rd.extract_all()
+    assert "b.bin" not in out
+    assert out["a.txt"] == files["a.txt"]
+    assert out["d.txt"] == b"fresh " * 100
+    mids = [c.method_id for f in rd.streams.folders for c in f.coders]
+    assert 0x4F71101 in mids  # untouched zstd folders kept
+    assert 0x21 in mids       # new file folder is lzma2
+
+
+@requires_ref
+def test_update_reference_archive_roundtrip(tmp_path, files):
+    from tpu7z.containers.sevenzip.writer import update_archive
+    for n, d in files.items():
+        (tmp_path / n).write_bytes(d)
+    arc = tmp_path / "r.7z"
+    subprocess.run([REF_7ZZ, "a", str(arc), "-m0=zstd", "-ms=off",
+                    str(tmp_path / "a.txt"), str(tmp_path / "b.bin")],
+                   capture_output=True, check=True)
+    upd = update_archive(arc.read_bytes(), add={"n.txt": b"x" * 500},
+                         delete=["b.bin"])
+    (tmp_path / "u.7z").write_bytes(upd)
+    r = subprocess.run([REF_7ZZ, "t", str(tmp_path / "u.7z")],
+                       capture_output=True)
+    assert b"Everything is Ok" in r.stdout

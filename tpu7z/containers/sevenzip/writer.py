@@ -175,10 +175,16 @@ def _build_header(names, files, empty, folders, pack_streams,
         for f in folders:
             for s in f["sizes"]:
                 w.number(s)
+        defined = [f["crc"] is not None for f in folders]
         w.number(F.K_CRC)
-        w.byte(1)
+        if all(defined):
+            w.byte(1)
+        else:
+            w.byte(0)
+            w.bitfield(defined)
         for f in folders:
-            w.u32(f["crc"])
+            if f["crc"] is not None:
+                w.u32(f["crc"])
         w.number(F.K_END)
         w.number(F.K_SUBSTREAMS_INFO)
         multi = any(c != 1 for c in sub_counts)
@@ -256,3 +262,118 @@ def _write_folder(w: ByteWriter, f: dict):
     if len(f["packed_indices"]) > 1:
         for pi in f["packed_indices"]:
             w.number(pi)
+
+
+# ---------------------------------------------------------------------------
+# Archive update (7zUpdate.cpp repack analog)
+# ---------------------------------------------------------------------------
+
+def update_archive(old: bytes, add: dict[str, bytes] | None = None,
+                   delete: list[str] | None = None,
+                   method: str = "lzma2", level: int = 5) -> bytes:
+    """Update an existing archive: keep the packed streams of untouched
+    solid folders verbatim (no recompression — the method-preservation
+    behavior the reference regression-tests, tests/regression.test:241),
+    drop folders whose every file is deleted, re-encode folders that
+    lose only some files, and append new/changed files in new folders.
+    """
+    from .reader import SevenZipReader, decode_folder
+
+    add = dict(add or {})
+    delete = set(delete or [])
+    rd = SevenZipReader(old)
+    si = rd.streams
+
+    pack_streams: list[bytes] = []
+    folders: list[dict] = []
+    sub_counts: list[int] = []
+    sub_sizes: list[int] = []
+    sub_crcs: list[int] = []
+    stream_names: list[str] = []  # names in final substream order
+
+    if si:
+        spans = rd._pack_stream_data(si)
+        pack_index = 0
+        sub_idx = 0
+        sfiles = [fe for fe in rd.files if fe.has_stream]
+        fi = 0
+        for folder_i, f in enumerate(si.folders):
+            npack = len(f.packed_indices)
+            packs = [old[o:o + s2]
+                     for (o, s2) in spans[pack_index:pack_index + npack]]
+            pack_index += npack
+            cnt = si.num_unpack_streams[folder_i]
+            names = [sfiles[fi + k].name for k in range(cnt)]
+            fi += cnt
+            sizes = si.sub_sizes[sub_idx:sub_idx + cnt]
+            crcs = si.sub_crcs[sub_idx:sub_idx + cnt]
+            sub_idx += cnt
+            touched = [n for n in names if n in delete or n in add]
+            if not touched:
+                folders.append({
+                    "coders": [(c.method_id, c.props, c.num_in, c.num_out)
+                               for c in f.coders],
+                    "bind": list(f.bind_pairs),
+                    "packed_indices": list(f.packed_indices),
+                    "sizes": list(f.unpack_sizes),
+                    "crc": f.crc,
+                })
+                pack_streams.extend(packs)
+                sub_counts.append(cnt)
+                sub_sizes.extend(sizes)
+                sub_crcs.extend(crcs)
+                stream_names.extend(names)
+            else:
+                survivors = [n for n in names
+                             if n not in delete and n not in add]
+                if survivors:
+                    data = decode_folder(f, packs)
+                    pos = 0
+                    for n, sz in zip(names, sizes):
+                        chunk = data[pos:pos + sz]
+                        pos += sz
+                        if n in survivors:
+                            add[n] = chunk  # re-encode below
+
+    for n, content in list(add.items()):
+        if not content:
+            continue
+        mid, props, packed = _encode_stream(method, content, level)
+        folders.append({
+            "coders": [(mid, props, 1, 1)],
+            "bind": [],
+            "packed_indices": [0],
+            "sizes": [len(content)],
+            "crc": _crc32(content),
+        })
+        pack_streams.append(packed)
+        sub_counts.append(1)
+        sub_sizes.append(len(content))
+        sub_crcs.append(_crc32(content))
+        stream_names.append(n)
+
+    # empty entries: originals not deleted/replaced + newly-added empties
+    empty_names = [fe.name for fe in rd.files
+                   if not fe.has_stream and fe.name not in delete
+                   and fe.name not in add]
+    empty_names += [n for n, c in add.items() if not c]
+
+    names = stream_names + empty_names
+    contents = {n: b"?" for n in stream_names}
+    contents.update({n: b"" for n in empty_names})
+    header = _build_header(names, contents, empty_names, folders,
+                           pack_streams, sub_counts, sub_sizes, sub_crcs)
+    packed_all = b"".join(pack_streams)
+    start = ByteWriter()
+    start.u64(len(packed_all))
+    start.u64(len(header))
+    start.u32(_crc32(header))
+    sh = start.getvalue()
+    out = bytearray()
+    out += F.SIGNATURE
+    out += bytes([0, 4])
+    out += _crc32(sh).to_bytes(4, "little")
+    out += sh
+    out += packed_all
+    out += header
+    return bytes(out)
