@@ -100,6 +100,27 @@ def child(platform: str) -> int:
     return 0
 
 
+def bench_host_native(data: bytes):
+    """Host-native C++ LZ4 encoder (tpu7z/native) — the CPU tier of the
+    framework, comparable engine class to the reference's C encoder."""
+    import ctypes
+    from tpu7z import native
+    from tpu7z.models.lz4 import block as blockmod
+    lib = native._load()
+    if lib is None:
+        return None
+    cap = len(data) + len(data) // 255 + 64
+    buf = ctypes.create_string_buffer(cap)
+    t0 = time.time()
+    r = lib.tz_lz4_encode(data, len(data), buf, cap)
+    dt = time.time() - t0
+    if r <= 0:
+        return None
+    if blockmod.decompress_block(buf.raw[:r], dst_size=len(data)) != data:
+        return None
+    return len(data) / dt / 1e6, len(data) / r
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         return child(sys.argv[2])
@@ -130,6 +151,7 @@ def main() -> int:
         return 0
     enc_mbs = result["enc_mbs"]
     data_len = BENCH_MB << 20
+    host = bench_host_native(get_corpus()[:data_len])
     print(json.dumps({
         "metric": "lz4_encode_MBps_per_chip",
         "value": round(enc_mbs, 1),
@@ -142,6 +164,10 @@ def main() -> int:
             "device": result["device"],
             "verified": "all blocks bit-exact round-trip",
             "timing": "forced device->host fetch per iteration",
+            "host_native_MBps": round(host[0], 1) if host else None,
+            "host_native_ratio": round(host[1], 3) if host else None,
+            "host_native_vs_baseline": round(host[0] / REF_LZ4_ENC_MBS, 3)
+            if host else None,
         },
     }))
     return 0

@@ -421,3 +421,78 @@ long long tz_lzma_decode_chunk(void* h, const uint8_t* src, size_t srcn,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// LZ4 raw block encode (greedy hash-table parse; own implementation of
+// the public block format)
+// ---------------------------------------------------------------------------
+
+extern "C" long long tz_lz4_encode(const uint8_t* src, size_t n,
+                                   uint8_t* dst, size_t cap) {
+    if (n == 0) { if (cap < 1) return -1; dst[0] = 0; return 1; }
+    const size_t HASH_LOG = 16, HSIZE = 1u << HASH_LOG;
+    static thread_local uint32_t* table = nullptr;
+    if (!table) table = (uint32_t*)malloc(HSIZE * sizeof(uint32_t));
+    for (size_t i = 0; i < HSIZE; i++) table[i] = 0xFFFFFFFFu;
+
+    size_t ip = 0, op = 0, anchor = 0;
+    const size_t mflimit = n >= 12 ? n - 12 : 0;
+
+    auto hash4 = [&](size_t p) {
+        uint32_t v; memcpy(&v, src + p, 4);
+        return (v * 2654435761u) >> (32 - HASH_LOG);
+    };
+    auto emit = [&](size_t lit_start, size_t lit_len, size_t offset,
+                    size_t mlen) -> bool {
+        size_t need = 1 + lit_len / 255 + 1 + lit_len + 2 + mlen / 255 + 1;
+        if (op + need + 8 > cap) return false;
+        uint8_t* tok = dst + op++;
+        size_t l = lit_len;
+        *tok = (uint8_t)((l >= 15 ? 15 : l) << 4);
+        if (l >= 15) { l -= 15; while (l >= 255) { dst[op++] = 255; l -= 255; } dst[op++] = (uint8_t)l; }
+        memcpy(dst + op, src + lit_start, lit_len); op += lit_len;
+        if (mlen) {
+            dst[op++] = (uint8_t)offset; dst[op++] = (uint8_t)(offset >> 8);
+            size_t m = mlen - 4;
+            *tok |= (uint8_t)(m >= 15 ? 15 : m);
+            if (m >= 15) { m -= 15; while (m >= 255) { dst[op++] = 255; m -= 255; } dst[op++] = (uint8_t)m; }
+        }
+        return true;
+    };
+
+    while (ip < mflimit) {
+        uint32_t h = hash4(ip);
+        uint32_t cand = table[h];
+        table[h] = (uint32_t)ip;
+        uint32_t v0, v1;
+        if (cand != 0xFFFFFFFFu && ip - cand <= 0xFFFF) {
+            memcpy(&v0, src + cand, 4);
+            memcpy(&v1, src + ip, 4);
+            if (v0 == v1) {
+                size_t mlen = 4;
+                size_t lim = n - 5 - ip;
+                while (mlen < lim && src[cand + mlen] == src[ip + mlen]) mlen++;
+                if (!emit(anchor, ip - anchor, ip - cand, mlen)) return -1;
+                // seed table inside the match sparsely
+                size_t e = ip + mlen;
+                for (size_t p = ip + 1; p + 4 <= e && p < mflimit; p += 3)
+                    table[hash4(p)] = (uint32_t)p;
+                ip = e; anchor = e;
+                continue;
+            }
+        }
+        ip++;
+    }
+    // trailing literals
+    {
+        size_t lit = n - anchor;
+        size_t need = 1 + lit / 255 + 1 + lit;
+        if (op + need > cap) return -1;
+        uint8_t* tok = dst + op++;
+        size_t l = lit;
+        *tok = (uint8_t)((l >= 15 ? 15 : l) << 4);
+        if (l >= 15) { l -= 15; while (l >= 255) { dst[op++] = 255; l -= 255; } dst[op++] = (uint8_t)l; }
+        memcpy(dst + op, src + anchor, lit); op += lit;
+    }
+    return (long long)op;
+}
