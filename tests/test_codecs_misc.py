@@ -8,6 +8,7 @@ import zlib
 import numpy as np
 import pytest
 
+from tests.conftest import REF_7ZZ, requires_ref
 from tpu7z.models import bzip2, deflate
 from tpu7z.models.bzip2 import bwt
 from tpu7z.models.filters import bcj, delta
@@ -154,3 +155,25 @@ def test_swap_filters():
     assert bcj.swap4(bcj.swap4(d)) == d
     assert bcj.swap2(b"abcd") == b"badc"
     assert bcj.swap4(b"abcd") == b"dcba"
+
+
+@requires_ref
+def test_deflate64_zip_decode(tmp_path):
+    """Deflate64 (PKWARE enhanced deflate): decode the reference's
+    -mm=Deflate64 zip output, incl. >32K distances / 64K window."""
+    import random
+    import subprocess
+    from tpu7z.containers import zip as zc
+    rng = random.Random(7)
+    words = ["".join(rng.choice("abcdefgh") for _ in range(9))
+             for _ in range(300)]
+    data = (" ".join(rng.choice(words) for _ in range(60000))).encode()
+    data = data[:200000] + data[:60000] + data[140000:200000]
+    src = tmp_path / "d.txt"
+    src.write_bytes(data)
+    arc = tmp_path / "d.zip"
+    subprocess.run([REF_7ZZ, "a", "-tzip", str(arc), str(src),
+                    "-mm=Deflate64", "-mx=9"], capture_output=True,
+                   check=True, cwd=tmp_path)
+    out = zc.read_zip(arc.read_bytes())
+    assert out[list(out)[0]] == data

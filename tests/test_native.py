@@ -47,3 +47,36 @@ def test_lzma_native_vs_stdlib(corpus):
     lib.tz_lzma_free(h)
     assert r > 0
     assert win.raw == data
+
+
+def test_lz4_native_encode_round_trip(corpus):
+    from tpu7z.models.lz4 import block as B
+    lib = native._load()
+    for name in ("text", "repeat", "random"):
+        data = corpus[name]
+        cap = len(data) + len(data) // 255 + 64
+        buf = ctypes.create_string_buffer(cap)
+        r = lib.tz_lz4_encode(data, len(data), buf, cap)
+        assert r > 0
+        assert B.decompress_block(buf.raw[:r], dst_size=len(data)) == data
+        # incompressible input must still round-trip (all-literal fallback)
+        if name == "random":
+            assert r <= len(data) + len(data) // 255 + 16
+
+
+from tests.conftest import REF_7ZZ, requires_ref
+
+
+@requires_ref
+def test_lz4_native_encode_interops_with_reference(corpus, tmp_path):
+    """Our native encoder's blocks must decode with the reference lz4
+    path (via its .lz4 frame handler)."""
+    from tpu7z.models.lz4 import frame as F
+    data = corpus["text"][:262144]
+    comp = F.compress_frame(data)
+    import subprocess
+    src = tmp_path / "a.lz4"
+    src.write_bytes(comp)
+    out = subprocess.run([REF_7ZZ, "e", "-so", str(src)],
+                         capture_output=True, check=True)
+    assert out.stdout == data

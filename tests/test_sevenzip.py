@@ -8,7 +8,7 @@ import subprocess
 import numpy as np
 import pytest
 
-from tpu7z.containers.sevenzip import SevenZipReader, write_archive
+from tpu7z.containers.sevenzip import SevenZipReader, write_archive, writer
 from tests.conftest import REF_7ZZ, requires_ref
 
 
@@ -189,3 +189,35 @@ def test_update_reference_archive_roundtrip(tmp_path, files):
     r = subprocess.run([REF_7ZZ, "t", str(tmp_path / "u.7z")],
                        capture_output=True)
     assert b"Everything is Ok" in r.stdout
+
+
+def test_encrypted_header_round_trip(corpus):
+    """-mhe=on analog: header stored as LZMA2<-AES256 kEncodedHeader."""
+    files = {"a.txt": corpus["text"][:5000], "b/c.bin": corpus["random"][:999],
+             "empty": b""}
+    arc = writer.write_archive(files, method="zstd", password="pw123",
+                               encrypt_header=True)
+    assert SevenZipReader(arc, password="pw123").extract_all() == files
+    with pytest.raises(Exception):
+        SevenZipReader(arc, password="nope").extract_all()
+    # file names must not appear in the clear
+    assert "a.txt".encode("utf-16-le") not in arc
+
+
+@requires_ref
+def test_encrypted_header_interop(corpus, tmp_path):
+    files = {"s.txt": corpus["text"][:4000]}
+    arc = writer.write_archive(files, method="lzma2", password="pw1",
+                               encrypt_header=True)
+    p = tmp_path / "he.7z"
+    p.write_bytes(arc)
+    r = subprocess.run([REF_7ZZ, "t", "-ppw1", str(p)], capture_output=True)
+    assert r.returncode == 0 and b"Everything is Ok" in r.stdout
+    # reverse: reference writes -mhe=on, we read
+    src = tmp_path / "s.txt"
+    src.write_bytes(files["s.txt"])
+    arc2 = tmp_path / "ref-he.7z"
+    subprocess.run([REF_7ZZ, "a", str(arc2), str(src), "-ppw1", "-mhe=on"],
+                   capture_output=True, check=True, cwd=tmp_path)
+    out = SevenZipReader(arc2.read_bytes(), password="pw1").extract_all()
+    assert out["s.txt"] == files["s.txt"]

@@ -6,7 +6,7 @@ the switch table of UI/Common/ArchiveCommandLine.cpp:278-360. Verbs:
   a  add/create     x/e extract     t  test     l  list
   h  hash           b  benchmark    i  info
 
-Switches: -t{type} -m0={method} -mx{level} -p{password} -o{dir}
+Switches: -t{type} -m0={method} -mx{level} -p{password} -mhe[=on] -o{dir}
           -si -so -mmt{n} -y
 Usage:  python -m tpu7z.cli a archive.7z file1 file2 ...
 """
@@ -24,7 +24,7 @@ from ..utils.errors import TpuzError
 _EXT_TYPES = {
     ".7z": "7z", ".zst": "zstd", ".lz4": "lz4", ".xz": "xz",
     ".bz2": "bzip2", ".gz": "gzip", ".tar": "tar", ".br": "brotli",
-    ".lz5": "lz5", ".liz": "lizard", ".lizard": "lizard",
+    ".lz5": "lz5", ".liz": "lizard", ".lizard": "lizard", ".zip": "zip",
 }
 
 
@@ -49,6 +49,10 @@ def _sniff_type(path: str, data: bytes | None = None) -> str:
             return "lz5"
         if data[:4] == b"\x06\x22\x4d\x18":
             return "lizard"
+        if data[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+            return "zip"
+        if len(data) > 262 and data[257:262] == b"ustar":
+            return "tar"
     return "7z"
 
 
@@ -58,6 +62,7 @@ class Options:
         self.method = None
         self.level = None
         self.password = None
+        self.encrypt_header = False
         self.outdir = "."
         self.stdin = False
         self.stdout = False
@@ -82,6 +87,8 @@ def _parse_switches(args):
                     opts.level = int(p[1:])
         elif a.startswith("-mx"):
             opts.level = int(a[3:].lstrip("="))
+        elif a.startswith("-mhe"):
+            opts.encrypt_header = a[4:] in ("", "=on", "on")
         elif a.startswith("-mmt"):
             v = a[4:].lstrip("=")
             opts.threads = None if v in ("", "on") else v
@@ -132,7 +139,18 @@ def cmd_add(opts: Options, args):
         from ..containers.sevenzip import write_archive
         method = opts.method or "lzma2"
         out = write_archive(files, method=method, level=opts.level or 5,
-                            password=opts.password)
+                            password=opts.password,
+                            encrypt_header=opts.encrypt_header)
+    elif atype == "zip":
+        from ..containers import zip as zipc
+        _zm = {"copy": 0, "deflate": 8, "bzip2": 12, "lzma": 14,
+               "zstd": 93, "xz": 95}
+        out = zipc.write_zip(files,
+                             method=_zm.get(opts.method or "deflate", 8),
+                             level=opts.level or 6)
+    elif atype == "tar":
+        from ..containers import tar as tarc
+        out = tarc.write_tar(files)
     else:
         if len(files) > 1:
             raise TpuzError(f"-t{atype}: single-stream format, got "
@@ -156,6 +174,12 @@ def _open_archive(opts, path):
         from ..containers.sevenzip import SevenZipReader
         rd = SevenZipReader(data, password=opts.password)
         return atype, rd.extract_all(), rd
+    if atype == "zip":
+        from ..containers import zip as zipc
+        return atype, zipc.read_zip(data), None
+    if atype == "tar":
+        from ..containers import tar as tarc
+        return atype, tarc.read_tar(data), None
     codec = get_codec(atype)
     name = os.path.basename(path or "stdin")
     for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz"):

@@ -463,6 +463,9 @@ def _run_decoder(coder: Coder, ins: list[bytes], out_size: int,
     if mid == F.M_DEFLATE:
         from ...models import deflate
         return deflate.decompress(data, max_out=out_size)
+    if mid == F.M_DEFLATE64:
+        from ...models import deflate
+        return deflate.decompress(data, max_out=out_size, deflate64=True)
     if mid == F.M_LZ4:
         from ...models.lz4 import frame as lz4f
         return lz4f.decompress(data)

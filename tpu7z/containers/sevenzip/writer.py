@@ -78,8 +78,14 @@ def _encode_bcj2_folder(blob: bytes, pack_streams: list):
 
 def write_archive(files: dict[str, bytes], method: str = "lzma2",
                   level: int = 5, solid: bool = True,
-                  password: str | None = None) -> bytes:
-    """Create a .7z archive from {name: content}."""
+                  password: str | None = None,
+                  encrypt_header: bool = False) -> bytes:
+    """Create a .7z archive from {name: content}.
+
+    encrypt_header=True (with a password) stores the header as a
+    kEncodedHeader folder chained LZMA2 <- AES256, hiding file names —
+    the -mhe=on mode (reference: 7zOut.cpp WriteDatabase encodeHeaders
+    path, 7zUpdate.cpp CompressHeaders)."""
     names = list(files.keys())
     nonempty = [n for n in names if len(files[n]) > 0]
     empty = [n for n in names if len(files[n]) == 0]
@@ -136,6 +142,10 @@ def write_archive(files: dict[str, bytes], method: str = "lzma2",
 
     header = _build_header(names, files, empty, folders, pack_streams,
                            sub_counts, sub_sizes, sub_crcs)
+    if encrypt_header:
+        if password is None:
+            raise ParamError("encrypt_header requires a password")
+        header = _encrypt_header(header, password, pack_streams)
     packed_all = b"".join(pack_streams)
     start = ByteWriter()
     start.u64(len(packed_all))
@@ -150,6 +160,47 @@ def write_archive(files: dict[str, bytes], method: str = "lzma2",
     out += packed_all
     out += header
     return bytes(out)
+
+
+def _encrypt_header(header: bytes, password: str,
+                    pack_streams: list) -> bytes:
+    """Wrap a plain kHeader blob as kEncodedHeader: LZMA2 <- AES256
+    folder whose single pack stream is appended after the data packs."""
+    from ...models.lzma import lzma2 as lzma2_mod
+    from . import aes7z
+    packed = lzma2_mod.compress(header)
+    iv = os.urandom(16)
+    aprops = bytes([19 | 0x40, 0x0F]) + iv
+    enc = aes7z.aes_encrypt(packed, aprops, password)
+    pack_pos = sum(len(p) for p in pack_streams)
+    pack_streams.append(enc)
+    w = ByteWriter()
+    w.number(F.K_ENCODED_HEADER)
+    w.number(F.K_PACK_INFO)
+    w.number(pack_pos)
+    w.number(1)
+    w.number(F.K_SIZE)
+    w.number(len(enc))
+    w.number(F.K_END)
+    w.number(F.K_UNPACK_INFO)
+    w.number(F.K_FOLDER)
+    w.number(1)
+    w.byte(0)
+    _write_folder(w, {
+        "coders": [(F.M_LZMA2, bytes([24]), 1, 1),
+                   (F.M_AES256, aprops, 1, 1)],
+        "bind": [(0, 1)],
+        "packed_indices": [1],
+    })
+    w.number(F.K_CODERS_UNPACK_SIZE)
+    w.number(len(header))
+    w.number(len(packed))
+    w.number(F.K_CRC)
+    w.byte(1)
+    w.u32(_crc32(header))
+    w.number(F.K_END)
+    w.number(F.K_END)
+    return w.getvalue()
 
 
 def _build_header(names, files, empty, folders, pack_streams,

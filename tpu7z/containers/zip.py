@@ -15,6 +15,7 @@ from ..utils.errors import CorruptError, UnsupportedError
 
 M_STORE = 0
 M_DEFLATE = 8
+M_DEFLATE64 = 9
 M_BZIP2 = 12
 M_LZMA = 14
 M_ZSTD = 93
@@ -54,6 +55,9 @@ def _decompress_entry(comp: bytes, method: int, usize: int) -> bytes:
     if method == M_DEFLATE:
         from ..models import deflate
         return deflate.decompress(comp, max_out=usize + 64)
+    if method == M_DEFLATE64:
+        from ..models import deflate
+        return deflate.decompress(comp, max_out=usize + 64, deflate64=True)
     if method == M_ZSTD:
         from ..models.zstd import frame
         return frame.decompress(comp)

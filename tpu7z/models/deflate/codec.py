@@ -31,6 +31,17 @@ DIST_EXTRA = np.array(
 CLC_ORDER = [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1,
              15]
 
+# Deflate64 ("enhanced deflate", PKWARE appnote 5.2; reference
+# CPP/7zip/Compress/Deflate64 register + DeflateDecoder.cpp _deflate64Mode):
+# symbol 285 switches from literal-258 to base 3 + 16 extra bits, and two
+# extra distance codes extend the window to 64 KiB.
+LENGTH_BASE64 = LENGTH_BASE.copy()
+LENGTH_EXTRA64 = LENGTH_EXTRA.copy()
+LENGTH_BASE64[28] = 3
+LENGTH_EXTRA64[28] = 16
+DIST_BASE64 = np.concatenate([DIST_BASE, [32769, 49153]])
+DIST_EXTRA64 = np.concatenate([DIST_EXTRA, [14, 14]])
+
 
 class _LSBReader:
     __slots__ = ("data", "pos")
@@ -134,7 +145,16 @@ _FIXED_LIT_LEN = np.array([8] * 144 + [9] * 112 + [7] * 24 + [8] * 8,
 _FIXED_DIST_LEN = np.full(30, 5, dtype=np.int64)
 
 
-def decompress(src: bytes, max_out: int | None = None) -> bytes:
+def decompress(src: bytes, max_out: int | None = None,
+               deflate64: bool = False) -> bytes:
+    if deflate64:
+        len_base, len_extra = LENGTH_BASE64, LENGTH_EXTRA64
+        dist_base, dist_extra = DIST_BASE64, DIST_EXTRA64
+        ndist = 32
+    else:
+        len_base, len_extra = LENGTH_BASE, LENGTH_EXTRA
+        dist_base, dist_extra = DIST_BASE, DIST_EXTRA
+        ndist = 30
     r = _LSBReader(src)
     out = bytearray()
     while True:
@@ -158,7 +178,8 @@ def decompress(src: bytes, max_out: int | None = None) -> bytes:
         elif btype in (1, 2):
             if btype == 1:
                 lit_dec = _HuffDec(_FIXED_LIT_LEN)
-                dist_dec = _HuffDec(_FIXED_DIST_LEN)
+                dist_dec = _HuffDec(np.full(ndist, 5, dtype=np.int64)
+                                    if deflate64 else _FIXED_DIST_LEN)
             else:
                 hlit = r.read(5) + 257
                 hdist = r.read(5) + 1
@@ -198,11 +219,11 @@ def decompress(src: bytes, max_out: int | None = None) -> bytes:
                     li = sym - 257
                     if li >= 29:
                         raise CorruptError("deflate: bad length symbol")
-                    length = int(LENGTH_BASE[li]) + r.read(int(LENGTH_EXTRA[li]))
+                    length = int(len_base[li]) + r.read(int(len_extra[li]))
                     ds = dist_dec.decode(r)
-                    if ds >= 30:
+                    if ds >= ndist:
                         raise CorruptError("deflate: bad distance symbol")
-                    dist = int(DIST_BASE[ds]) + r.read(int(DIST_EXTRA[ds]))
+                    dist = int(dist_base[ds]) + r.read(int(dist_extra[ds]))
                     if dist > len(out):
                         raise CorruptError("deflate: distance too far")
                     for _ in range(length):

@@ -245,8 +245,29 @@ def _greedy_parse(next_pos: np.ndarray, n: int) -> np.ndarray:
     return visited[visited < n]
 
 
-def compress_block(src, accel: int = 1, hashlog: int = 16) -> bytes:
-    """Greedy LZ4 block compression, fully data-parallel."""
+def compress_block(src, accel: int = 1, hashlog: int = 16,
+                   use_native: bool = True) -> bytes:
+    """Greedy LZ4 block compression.
+
+    Host fast path: the C++ greedy encoder in tpu7z/native (284 MB/s,
+    the CPU tier — reference analog C/lz4/lz4.c LZ4_compress_default).
+    Fallback / use_native=False: the fully data-parallel numpy parse
+    (the host twin of the device pipeline in ops/lz4_emit_jax.py).
+    """
+    if use_native and accel == 1 and hashlog == 16 and len(src) > 0:
+        try:
+            from ... import native as _native_mod
+            import ctypes as _ct
+            lib = _native_mod._load()
+        except Exception:
+            lib = None
+        if lib is not None:
+            raw = bytes(src)
+            cap = len(raw) + len(raw) // 255 + 64
+            buf = _ct.create_string_buffer(cap)
+            r = lib.tz_lz4_encode(raw, len(raw), buf, cap)
+            if r > 0:
+                return buf.raw[:r]
     s = np.frombuffer(bytes(src), dtype=np.uint8)
     n = s.size
     if n == 0:
