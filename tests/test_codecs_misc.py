@@ -148,6 +148,36 @@ def test_bcj_ia64_matches_liblzma():
     assert bcj.bcj_ia64_decode(mid) == buf
 
 
+@requires_ref
+def test_bcj_riscv_matches_reference(tmp_path):
+    """RISC-V filter vs reference (C/Bra.c RISCV): bit-exact encode
+    (via a RISCV+Copy 7z folder whose pack stream IS the filtered
+    bytes) and decode of a reference RISCV+LZMA2 archive."""
+    import random
+    import subprocess
+    from tpu7z.containers.sevenzip.reader import SevenZipReader
+    rng = random.Random(31)
+    buf = bytearray(rng.randbytes(150000))
+    for i in range(0, len(buf) - 8, 12):
+        buf[i] = rng.choice([0x6F, 0xEF, 0x17, 0x97, 0x13, 0x33, 0x67])
+    buf = bytes(buf)
+    src = tmp_path / "rv.bin"
+    src.write_bytes(buf)
+    arc = tmp_path / "rv.7z"
+    subprocess.run([REF_7ZZ, "a", "-m0=RISCV", "-m1=Copy", str(arc),
+                    "rv.bin"], capture_output=True, check=True,
+                   cwd=tmp_path)
+    packed = arc.read_bytes()[32:32 + len(buf)]
+    assert bcj.bcj_riscv_encode(buf) == packed
+    assert bcj.bcj_riscv_decode(packed) == buf
+    arc2 = tmp_path / "rv2.7z"
+    subprocess.run([REF_7ZZ, "a", "-m0=RISCV", "-m1=LZMA2:d=1m",
+                    str(arc2), "rv.bin"], capture_output=True, check=True,
+                   cwd=tmp_path)
+    out = SevenZipReader(arc2.read_bytes()).extract_all()
+    assert out["rv.bin"] == buf
+
+
 def test_swap_filters():
     rng = np.random.default_rng(23)
     d = rng.integers(0, 256, 1001, dtype=np.uint8).tobytes()

@@ -479,6 +479,9 @@ def _run_decoder(coder: Coder, ins: list[bytes], out_size: int,
     if mid == F.M_ARM64:
         from ...models.filters import bcj
         return bcj.bcj_arm64_decode(data)[:out_size]
+    if mid == F.M_RISCV:
+        from ...models.filters import bcj
+        return bcj.bcj_riscv_decode(data)[:out_size]
     if mid == F.M_ARM:
         from ...models.filters import bcj
         return bcj.bcj_arm_decode(data)[:out_size]

@@ -295,3 +295,130 @@ bcj_ia64_encode, bcj_ia64_decode = _mk(_ia64_convert)
 
 FILTERS["armt"] = (bcj_armt_encode, bcj_armt_decode)
 FILTERS["ia64"] = (bcj_ia64_encode, bcj_ia64_decode)
+
+
+def _riscv_convert(data: bytes, ip: int, encoding: bool) -> bytes:
+    """RISC-V branch filter (alignment 2).
+
+    Behavioral reference: C/Bra.c BranchConv_{ENC,DEC}(RISCV) and
+    CPP/7zip/Compress/BranchRegister.cpp (method 0x0B). Two rewrites:
+    JAL (low byte 0x6F/0xEF) gets its scrambled 21-bit immediate
+    de-interleaved, made absolute, and stored big-endian-ish; an
+    AUIPC+load/store/jalr pair (when the check links their registers)
+    is fused into a marker form holding the absolute 32-bit address
+    big-endian. x0/x2-destination AUIPCs are reserved as the marker
+    space, handled by the inverse branch so the transform is bijective.
+    """
+    d = bytearray(data)
+    M = 0xFFFFFFFF
+    n = len(d) & ~1
+    if n <= 6:
+        return bytes(d)
+    lim = n - 6
+    i = 0
+
+    def u32(o):
+        return d[o] | (d[o + 1] << 8) | (d[o + 2] << 16) | (d[o + 3] << 24)
+
+    def pu32(o, v):
+        d[o] = v & 0xFF
+        d[o + 1] = (v >> 8) & 0xFF
+        d[o + 2] = (v >> 16) & 0xFF
+        d[o + 3] = (v >> 24) & 0xFF
+
+    while i < lim:
+        a = (((d[i] | (d[i + 1] << 8)) ^ 0x10) + 1) & M
+        if a & 0x77:
+            i += 2
+            continue
+        pc = (ip + i) & M
+        if (a & 8) == 0:
+            # JAL rd=ra family
+            if encoding:
+                if ((a - 0x100) & 0xD80):
+                    i += 2
+                    continue
+                w = u32(i)
+                v = (((w & 0x80000000) >> 11) | ((w & (0x3FF << 21)) >> 20)
+                     | ((w & (1 << 20)) >> 9) | (w & (0xFF << 12)))
+                v = (v + pc) & M
+                d[i + 1] = ((v >> 13) & 0xF0) | ((w >> 8) & 0x0F)
+                d[i + 2] = (v >> 9) & 0xFF
+                d[i + 3] = (v >> 1) & 0xFF
+            else:
+                a = (a - 0x81) & M
+                if a & 0xD80:
+                    i += 2
+                    continue
+                low12 = (a + 0x70) & 0xFFF
+                v = ((d[i + 3] << 1) | (d[i + 2] << 9)
+                     | ((a & 0xF000) << 5)) & M
+                v = (v - pc) & M
+                w = (low12 | ((v << 11) & 0x80000000)
+                     | ((v << 20) & (0x3FF << 21)) | ((v << 9) & (1 << 20))
+                     | (v & (0xFF << 12)))
+                pu32(i, w)
+            i += 4
+            continue
+        # AUIPC family; v = scan value, w = full first instruction
+        v = a
+        w = u32(i)
+
+        def check1(b):
+            return ((((b - 3) & M) ^ ((v << 8) & M)) & 0xF8003) == 0
+
+        def check2(r):
+            return ((((v - 0x3108) & M) << 18) & M) < (r & 0x1D)
+
+        if encoding:
+            if v & 0xE80:  # rd not x0/x2: real AUIPC candidate
+                b = u32(i + 4)
+                if check1(b):
+                    pu32(i, ((b << 12) & M) | 0x117)
+                    hi = w & 0xFFFFF000
+                    s = b >> 20
+                    if b & 0x80000000:
+                        s = (s - 0x1000) & M
+                    t = (hi + s + pc) & M
+                    d[i + 4] = (t >> 24) & 0xFF
+                    d[i + 5] = (t >> 16) & 0xFF
+                    d[i + 6] = (t >> 8) & 0xFF
+                    d[i + 7] = t & 0xFF
+                    i += 8
+                else:
+                    i += 6
+            else:  # x0/x2 marker space: apply inverse so filter stays 1:1
+                r = w >> 27
+                if check2(r):
+                    v2 = u32(i + 4)
+                    pu32(i, ((r << 7) + 0x17 + (v2 & 0xFFFFF000)) & M)
+                    pu32(i + 4, ((w >> 12) | ((v2 << 20) & M)) & M)
+                    i += 8
+                else:
+                    i += 4
+        else:
+            if (v & 0xE80) == 0:  # marker form: restore AUIPC pair
+                r = w >> 27
+                if check2(r):
+                    b = ((d[i + 4] << 24) | (d[i + 5] << 16)
+                         | (d[i + 6] << 8) | d[i + 7])
+                    b = (b - pc) & M
+                    pu32(i, ((r << 7) + 0x17
+                             + ((b + 0x800) & 0xFFFFF000)) & M)
+                    pu32(i + 4, ((w >> 12) | ((b << 20) & M)) & M)
+                    i += 8
+                else:
+                    i += 4
+            else:  # forward-convert real pairs into marker space
+                b = u32(i + 4)
+                if check1(b):
+                    pu32(i, ((b << 12) & M) | 0x117)
+                    pu32(i + 4, (w & 0xFFFFF000) | (b >> 20))
+                    i += 8
+                else:
+                    i += 6
+    return bytes(d)
+
+
+bcj_riscv_encode, bcj_riscv_decode = _mk(_riscv_convert)
+FILTERS["riscv"] = (bcj_riscv_encode, bcj_riscv_decode)
