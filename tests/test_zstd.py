@@ -117,3 +117,53 @@ def test_we_decode_reference_binary(tmp_path, corpus):
         subprocess.run([REF_7ZZ, "a", "-tzstd", str(arc), str(src)],
                        capture_output=True, check=True)
         assert frame.decompress(arc.read_bytes()) == data, name
+
+
+def test_cross_block_window():
+    """Matches reach back across the 128K block boundary: two copies of
+    the same 150K random payload, 200K apart, must compress to well under
+    one payload's size (impossible with an in-block-only window)."""
+    rng = np.random.default_rng(0xB10C)
+    payload = rng.integers(0, 256, 150_000, dtype=np.uint8).tobytes()
+    filler = rng.integers(0, 256, 50_000, dtype=np.uint8).tobytes()
+    data = payload + filler + payload
+    c = zstd_pkg.compress(data, level=3)
+    assert frame.decompress(c) == data
+    assert len(c) < len(payload) + len(filler) + 20_000  # 2nd copy matched
+
+
+def test_block_boundary_match_split():
+    """A single run longer than a block splits cleanly at boundaries."""
+    data = b"Q" * 200_000 + b"tail" + b"R" * 300_000
+    c = zstd_pkg.compress(data, level=1)
+    assert frame.decompress(c) == data
+
+
+def test_match_lengths_hashed_vs_direct():
+    from tpu7z.models.lz4 import block as lz4block
+    rng = np.random.default_rng(3)
+    s = np.concatenate([
+        np.frombuffer(b"abcdef" * 3000, np.uint8),
+        rng.integers(0, 256, 4000).astype(np.uint8),
+        np.zeros(9000, np.uint8)])
+    ph = lz4block.build_prefix_hash(s)
+    n = s.size
+    pos = rng.integers(8, n - 16, 3000).astype(np.int64)
+    cand = np.maximum(pos - rng.integers(1, 2000, 3000), 0).astype(np.int64)
+    keep = (cand < pos)
+    w = np.arange(4)
+    keep &= np.all(s[pos[:, None] + w] == s[cand[:, None] + w], axis=1)
+    pos, cand = pos[keep], cand[keep]
+    assert pos.size > 50
+    limit = (n - pos).astype(np.int64)
+    got = lz4block.match_lengths_hashed(ph, pos, cand, limit)
+    want = lz4block._match_lengths(s, pos, cand, limit)
+    assert np.array_equal(got, want)
+
+
+def test_level_ordering(corpus):
+    """Higher levels never compress notably worse on mixed content."""
+    data = corpus["text"] + corpus["struct"] + corpus["sparse"]
+    sizes = [len(zstd_pkg.compress(data, level=lv)) for lv in (1, 3, 12)]
+    assert frame.decompress(zstd_pkg.compress(data, level=12)) == data
+    assert sizes[2] <= sizes[0]

@@ -227,6 +227,90 @@ def _match_lengths(s: np.ndarray, pos: np.ndarray, cand: np.ndarray,
     return mlen
 
 
+_POLY_A = np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+
+
+def build_prefix_hash(s: np.ndarray):
+    """(H, APOW) for O(1) substring hashes: H[i] = hash of s[:i] under the
+    polynomial rolling hash h*a + (byte+1) mod 2^64;
+    hash(s[i:i+L]) = H[i+L] - H[i]*APOW[L]."""
+    n = s.size
+    apow = np.empty(n + 1, dtype=np.uint64)
+    apow[0] = 1
+    np.multiply.accumulate(np.full(n, _POLY_A, dtype=np.uint64),
+                           out=apow[1:])
+    h = np.empty(n + 1, dtype=np.uint64)
+    h[0] = 0
+    # H[i+1] = H[i]*a + s[i]+1  =>  H[k] = sum_{i<k} (s[i]+1)*a^(k-1-i)
+    # computed as cumsum of (s[i]+1)*a^(-i) ... avoid division: instead
+    # accumulate in the scaled domain: T[k] = sum (s[i]+1) * a^(N-1-i),
+    # then H[k] = T[k] / a^(N-k) — division again. Use a sequential-free
+    # form: (s[i]+1)*apow reversed prefix via cumsum of terms with
+    # descending powers, then multiply by ascending powers:
+    # H[k] * apow[n-k] = cumsum_k((s[i]+1)*apow[n-1-i]); a is odd so
+    # apow[n-k] is invertible mod 2^64.
+    terms = (s.astype(np.uint64) + np.uint64(1)) * apow[n - 1::-1]
+    csum = np.zeros(n + 1, dtype=np.uint64)
+    np.add.accumulate(terms, out=csum[1:])
+    inv_a = _modinv_pow2(_POLY_A)
+    inv_pow = np.empty(n + 1, dtype=np.uint64)
+    inv_pow[0] = 1
+    np.multiply.accumulate(np.full(n, inv_a, dtype=np.uint64),
+                           out=inv_pow[1:])
+    h = csum * inv_pow[n::-1]
+    return h, apow
+
+
+def _modinv_pow2(a: np.uint64) -> np.uint64:
+    """Inverse of odd a mod 2^64 (Newton iteration over Python ints)."""
+    ai = int(a)
+    x = ai
+    for _ in range(5):
+        x = (x * (2 - ai * x)) & 0xFFFFFFFFFFFFFFFF
+    return np.uint64(x)
+
+
+def match_lengths_hashed(prefix_hash, pos: np.ndarray, cand: np.ndarray,
+                         limit: np.ndarray,
+                         verified: int = MIN_MATCH) -> np.ndarray:
+    """Common-prefix length of s[pos:] vs s[cand:] (first `verified` bytes
+    already known equal), elementwise-capped by `limit`, via vectorized
+    binary search over O(1) rolling-hash substring compares. Replaces the
+    widening-compare loop for long-window parses where match lengths can
+    reach megabytes (collision odds ~ pairs * 2^-64)."""
+    h, apow = prefix_hash
+    lo = np.minimum(np.int64(verified), limit).astype(np.int64)
+    hi = limit.astype(np.int64)
+    hp = h[pos]
+    hc = h[cand]
+
+    def _eq(idx, ln):
+        return (h[pos[idx] + ln] - hp[idx] * apow[ln]
+                == h[cand[idx] + ln] - hc[idx] * apow[ln])
+
+    # gallop: doubling probes bracket the mismatch so the (dominant)
+    # short matches finish in a probe or two; active set shrinks
+    # geometrically, like the byte-panel widening pass but O(1)/probe
+    step = np.full(pos.size, 8, dtype=np.int64)
+    active = np.where(lo < hi)[0]
+    while active.size:
+        probe = np.minimum(lo[active] + step[active], hi[active])
+        eq = _eq(active, probe)
+        lo[active] = np.where(eq, probe, lo[active])
+        hi[active] = np.where(eq, hi[active], probe - 1)
+        step[active] <<= 1
+        active = active[eq & (lo[active] < hi[active])]
+    # binary refine within the bracket
+    active = np.where(lo < hi)[0]
+    while active.size:
+        mid = lo[active] + (hi[active] - lo[active] + 1) // 2
+        eq = _eq(active, mid)
+        lo[active] = np.where(eq, mid, lo[active])
+        hi[active] = np.where(eq, hi[active], mid - 1)
+        active = active[lo[active] < hi[active]]
+    return lo
+
+
 def _greedy_parse(next_pos: np.ndarray, n: int) -> np.ndarray:
     """Positions visited starting at 0 following next_pos, via pointer
     doubling (replaces the sequential cursor of LZ4_compress_generic)."""

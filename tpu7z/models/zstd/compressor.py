@@ -37,52 +37,148 @@ MIN_MATCH = 3
 # Sequence extraction (per block)
 # ---------------------------------------------------------------------------
 
-def _find_sequences(s: np.ndarray, hashlog: int, max_offset: int,
-                    depth: int = 2):
-    """Greedy parse of one block: returns (mpos, mlen, moff) arrays.
-    depth-k candidate chains: per position the longest match wins
-    (ties to the nearer candidate)."""
+def _greedy_parse_from(next_pos: np.ndarray, n: int, start: int) -> np.ndarray:
+    """Pointer-doubling cursor walk of next_pos starting at `start`
+    (lz4block._greedy_parse generalized to a nonzero origin)."""
+    sentinel = n
+    nxt = np.minimum(next_pos, sentinel)
+    visited = np.array([start], dtype=np.int64)
+    jump = nxt
+    steps = 1
+    while steps < n + 1:
+        ext = jump[np.minimum(visited, n - 1)]
+        ext = np.where(visited >= n, sentinel, ext)
+        visited = np.unique(np.concatenate([visited, ext]))
+        j2 = jump[np.minimum(jump, n - 1)]
+        jump = np.where(jump >= n, sentinel, j2)
+        steps *= 2
+    return visited[(visited < n) & (visited >= start)]
+
+
+def _parse_segment(s: np.ndarray, base: int, hashlog: int, max_offset: int,
+                   depth: int = 2, lazy: int = 0):
+    """Best-match parse of s[base:]; candidate sources may lie in the
+    history prefix s[:base]. Returns (mpos, mlen, moff) relative to s.
+
+    depth-k candidate chains (data-parallel hash-chain walk: one stable
+    sort, k sorted-neighbor gathers — the FL2 radix-MF idea applied to the
+    zstd matcher, vs the reference's pointer-chasing BT/HC finders in
+    C/zstd/zstd_lazy.c). `lazy` in {0,1,2} = how many one-byte defers a
+    position concedes to a strictly better successor match
+    (ZSTD_compressBlock_lazy/lazy2 analog, C/zstd/zstd_lazy.c:1828,
+    vectorized as a local score comparison instead of a serial re-search).
+    """
     n = s.size
-    if n < 16:
+    if n - base < 16:
         return (np.empty(0, np.int64),) * 3
     cands = lz4block._find_candidates_multi(s, hashlog=hashlog, depth=depth)
-    pos_all = np.arange(cands[0].size, dtype=np.int64)
-    best_len = np.zeros(cands[0].size, dtype=np.int64)
-    best_off = np.zeros(cands[0].size, dtype=np.int64)
-    best_score = np.full(cands[0].size, -(1 << 30), dtype=np.int64)
+    phash = lz4block.build_prefix_hash(s)
+    m = cands[0].size
+    pos_all = np.arange(m, dtype=np.int64)
+    best_len = np.zeros(m, dtype=np.int64)
+    best_off = np.zeros(m, dtype=np.int64)
+    best_score = np.full(m, -(1 << 30), dtype=np.int64)
     for cand in cands:
         offset = pos_all - cand
-        ok = (cand >= 0) & (offset <= max_offset) & (pos_all <= n - 8)
-        mlen = np.zeros(cand.size, dtype=np.int64)
+        ok = ((cand >= 0) & (offset <= max_offset) & (pos_all >= base)
+              & (pos_all <= n - 8))
+        mlen = np.zeros(m, dtype=np.int64)
         vidx = np.where(ok)[0]
         if vidx.size:
             limit = n - pos_all[vidx]
-            mlen[vidx] = lz4block._match_lengths(s, pos_all[vidx],
-                                                 cand[vidx], limit)
+            mlen[vidx] = lz4block.match_lengths_hashed(
+                phash, pos_all[vidx], cand[vidx], limit)
         # price-aware selection: ~8 bits saved per matched byte minus the
-        # offset-code extra bits (ZSTD_selectBlockCompressor analog of
-        # weighing match length against offset cost)
+        # offset-code extra bits (the ZSTD_compressBlock price model of
+        # zstd_opt.c distilled to its first-order term)
         score = 8 * mlen - seq_mod.floor_log2(np.maximum(offset, 1))
         score = np.where(mlen >= 4, score, -(1 << 30))
         better = score > best_score
         best_score = np.where(better, score, best_score)
         best_len = np.where(better, mlen, best_len)
         best_off = np.where(better, offset, best_off)
-    mlen = best_len
-    offset = best_off
-    valid = mlen >= 4
-    next_pos = np.where(valid, pos_all + mlen, pos_all + 1)
+    valid = best_len >= 4
+    # lazy deferral: a match at p yields to a strictly better one at p+1
+    # (cost of deferring = one literal ≈ 6 bits)
+    for _ in range(lazy):
+        nxt_score = np.empty(m, dtype=np.int64)
+        nxt_score[:-1] = best_score[1:]
+        nxt_score[-1] = -(1 << 30)
+        defer = valid & (nxt_score > best_score + 6)
+        defer[:-1] &= valid[1:]
+        valid &= ~defer
+    next_pos = np.where(valid, pos_all + best_len, pos_all + 1)
     full_next = np.full(n, n, dtype=np.int64)
     full_next[: next_pos.size] = next_pos
-    visited = lz4block._greedy_parse(full_next, n)
+    visited = _greedy_parse_from(full_next, n, base)
     is_match = np.zeros(n, dtype=bool)
     vm = np.zeros(n, dtype=np.int64)
     voff = np.zeros(n, dtype=np.int64)
     is_match[: valid.size] = valid
-    vm[: mlen.size] = mlen
-    voff[: offset.size] = offset
+    vm[: best_len.size] = best_len
+    voff[: best_off.size] = best_off
     m_sel = visited[is_match[visited]]
     return m_sel, vm[m_sel], voff[m_sel]
+
+
+def find_sequences_windowed(s: np.ndarray, hashlog: int, window_log: int,
+                            depth: int = 2, lazy: int = 0,
+                            seg_size: int = 1 << 22):
+    """Whole-input parse with a sliding history window (the cross-block
+    match window that the reference gets from its contiguous dictionary,
+    C/zstd/zstd_compress.c ZSTD_buildSeqStore over cctx->window).
+
+    Segments bound peak memory: each segment [a, b) is parsed against
+    history s[a-hist : a] with hist = min(a, window). Matches never cross
+    a segment end (capped by the per-position limit), which costs a
+    negligible number of split matches every `seg_size` bytes.
+    """
+    n = s.size
+    window = 1 << window_log
+    out_p, out_l, out_o = [], [], []
+    for a in range(0, n, seg_size):
+        b = min(a + seg_size, n)
+        hist = min(a, window)
+        sub = s[a - hist: b]
+        mp, ml, mo = _parse_segment(sub, hist, hashlog, window,
+                                    depth=depth, lazy=lazy)
+        out_p.append(mp + (a - hist))
+        out_l.append(ml)
+        out_o.append(mo)
+    if not out_p:
+        return (np.empty(0, np.int64),) * 3
+    return (np.concatenate(out_p), np.concatenate(out_l),
+            np.concatenate(out_o))
+
+
+def _split_at_block_boundaries(mpos, mlen, moff, block_size):
+    """Split matches that straddle a block boundary (a zstd block's
+    sequences regenerate exactly that block's bytes; pieces shorter than
+    the 3-byte minimum match fall back to literals)."""
+    if mpos.size == 0:
+        return mpos, mlen, moff
+    crosses = (mpos // block_size) != ((mpos + mlen - 1) // block_size)
+    if not crosses.any():
+        return mpos, mlen, moff
+    keep = ~crosses
+    pieces_p = [mpos[keep]]
+    pieces_l = [mlen[keep]]
+    pieces_o = [moff[keep]]
+    for p, l, o in zip(mpos[crosses], mlen[crosses], moff[crosses]):
+        p, l, o = int(p), int(l), int(o)
+        while l > 0:
+            room = block_size - (p % block_size)
+            take = min(l, room)
+            if take >= MIN_MATCH:
+                pieces_p.append(np.array([p], dtype=np.int64))
+                pieces_l.append(np.array([take], dtype=np.int64))
+                pieces_o.append(np.array([o], dtype=np.int64))
+            p += take
+            l -= take
+    mp = np.concatenate(pieces_p)
+    order = np.argsort(mp, kind="stable")
+    return (mp[order], np.concatenate(pieces_l)[order],
+            np.concatenate(pieces_o)[order])
 
 
 # ---------------------------------------------------------------------------
@@ -368,10 +464,26 @@ def _encode_sequences(ll: np.ndarray, moff: np.ndarray,
 def compress_block_body(s: np.ndarray, hashlog: int,
                         rep: list | None = None,
                         depth: int = 2) -> bytes | None:
-    """Build a Compressed_Block body; None if expansion (caller emits raw)."""
+    """Build a Compressed_Block body with an in-block-only window;
+    None if expansion (caller emits raw). Standalone-block entry point —
+    the frame driver uses compress_block_body_seqs with the windowed
+    cross-block parse instead."""
+    mpos, mlen, moff = _parse_segment(s, 0, hashlog, s.size, depth=depth)
+    if rep is None:
+        rep = [1, 4, 8]
+    return compress_block_body_seqs(s, mpos, mlen, moff, rep)
+
+
+def compress_block_body_seqs(s: np.ndarray, mpos: np.ndarray,
+                             mlen: np.ndarray, moff: np.ndarray,
+                             rep: list) -> bytes | None:
+    """Build a Compressed_Block body from pre-found sequences (positions
+    relative to the block start; offsets may reach back past it into the
+    frame window). None if expansion — the caller emits a raw block and
+    must leave `rep` untouched (snapshot/restore), since the decoder's
+    repeat-offset history only advances on decoded sequences."""
     n = s.size
-    mpos, mlen, moff = _find_sequences(s, hashlog, max_offset=n,
-                                       depth=depth)
+    rep_snap = list(rep)
     if mpos.size:
         lit_starts = np.concatenate([[0], mpos + mlen])
         lit_lens = np.concatenate([mpos, [n]]) - lit_starts
@@ -384,12 +496,11 @@ def compress_block_body(s: np.ndarray, hashlog: int,
     else:
         ll = np.empty(0, dtype=np.int64)
         lits = s
-    if rep is None:
-        rep = [1, 4, 8]
     lit_sec = _encode_literals(lits)
     seq_sec = _encode_sequences(ll, moff, mlen, rep)
     body = lit_sec + seq_sec
     if len(body) >= n:
+        rep[0], rep[1], rep[2] = rep_snap
         return None
     return body
 
@@ -403,30 +514,60 @@ def _runs_to_indices(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return np.repeat(starts, lengths) + within
 
 
+def _level_params(level: int, n: int) -> tuple[int, int, int, int]:
+    """(hashlog, depth, window_log, lazy) per compression level —
+    the role of the reference's ZSTD_defaultCParameters table
+    (C/zstd/zstd_compress.c clampedParams); values chosen for THIS
+    matcher (sorted hash chains), not copied."""
+    nbits = max(10, (max(n, 1) - 1).bit_length())
+    if level <= 1:
+        hl, depth, wlog, lazy = 16, 1, 19, 0
+    elif level <= 3:
+        hl, depth, wlog, lazy = 17, 2, 21, 0
+    elif level <= 6:
+        hl, depth, wlog, lazy = 17, 3, 21, 1
+    elif level <= 11:
+        hl, depth, wlog, lazy = 18, 6, 22, 1
+    elif level <= 16:
+        hl, depth, wlog, lazy = 19, 10, 23, 2
+    else:
+        hl, depth, wlog, lazy = 20, 16, 24, 2
+    return hl, depth, min(wlog, nbits), lazy
+
+
 def compress(data: bytes, level: int = 3, checksum: bool = True,
              block_size: int = MAX_BLOCK_SIZE) -> bytes:
-    """One-shot zstd frame compression."""
+    """One-shot zstd frame compression: one windowed parse over the whole
+    input (matches reach back across block boundaries up to the window),
+    then per-block entropy sections."""
     if level < -7 or level > 22:
         raise ParamError(f"zstd level {level} out of range")
     s = np.frombuffer(data, dtype=np.uint8)
     n = s.size
-    hashlog = 16 if level <= 3 else 17
-    depth = 1 if level <= 1 else 2
+    hashlog, depth, wlog, lazy = _level_params(level, n)
     out = bytearray(write_frame_header(n, checksum=checksum))
     if n == 0:
         out += bytes([0x01, 0x00, 0x00])  # last, raw, size 0
     else:
+        mpos, mlen, moff = find_sequences_windowed(
+            s, hashlog, wlog, depth=depth, lazy=lazy)
+        mpos, mlen, moff = _split_at_block_boundaries(
+            mpos, mlen, moff, block_size)
         rep = [1, 4, 8]  # repeat-offset history persists across blocks
         nblocks = -(-n // block_size)
         for b in range(nblocks):
-            chunk = s[b * block_size:(b + 1) * block_size]
+            bs = b * block_size
+            chunk = s[bs:bs + block_size]
             last = 1 if b == nblocks - 1 else 0
+            sel = slice(np.searchsorted(mpos, bs, "left"),
+                        np.searchsorted(mpos, bs + chunk.size, "left"))
             if np.all(chunk == chunk[0]) and chunk.size >= 8:
                 bh = last | (1 << 1) | (chunk.size << 3)
                 out += bh.to_bytes(3, "little")
                 out.append(int(chunk[0]))
                 continue
-            body = compress_block_body(chunk, hashlog, rep, depth)
+            body = compress_block_body_seqs(
+                chunk, mpos[sel] - bs, mlen[sel], moff[sel], rep)
             if body is None:
                 bh = last | (0 << 1) | (chunk.size << 3)
                 out += bh.to_bytes(3, "little")
