@@ -167,3 +167,32 @@ def test_level_ordering(corpus):
     sizes = [len(zstd_pkg.compress(data, level=lv)) for lv in (1, 3, 12)]
     assert frame.decompress(zstd_pkg.compress(data, level=12)) == data
     assert sizes[2] <= sizes[0]
+
+
+def test_native_encoder_levels(corpus):
+    """Native C++ host-tier encoder: round-trips through both our decoder
+    and the trusted zstandard library at every level class."""
+    from tpu7z import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    for name in ("text", "repeat", "random", "sparse", "struct", "empty",
+                 "one", "short"):
+        data = corpus[name]
+        for lvl in (1, 3, 7, 12, 19, 22):
+            c = native.zstd_encode(data, lvl)
+            assert c is not None
+            assert frame.decompress(c) == data, (name, lvl)
+            assert zstandard.ZstdDecompressor().decompress(
+                c, max_output_size=max(1, len(data))) == data, (name, lvl)
+
+
+def test_native_encoder_beats_numpy_speed_ratio(corpus):
+    """The native tier is the default host path and must not regress the
+    numpy twin's ratio by more than a small margin on text."""
+    from tpu7z import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    data = corpus["text"]
+    nat = len(native.zstd_encode(data, 3))
+    ref = len(zstandard.ZstdCompressor(level=3).compress(data))
+    assert nat <= ref * 1.10 + 64

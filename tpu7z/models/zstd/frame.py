@@ -245,6 +245,15 @@ def decompress(src: bytes, verify_checksum: bool = True) -> bytes:
     return b"".join(parts)
 
 
-def compress(data: bytes, level: int = 3, **kw) -> bytes:
+def compress(data: bytes, level: int = 3, use_native: bool = True,
+             **kw) -> bytes:
+    """One-shot zstd compression. Host tier: the native C++ encoder
+    (tpu7z/native/src/zstd_enc.cpp); fallback / use_native=False: the
+    data-parallel numpy twin (compressor.py)."""
+    if use_native and not kw:
+        from ... import native as _native
+        c = _native.zstd_encode(bytes(data), level=level)
+        if c is not None:
+            return c
     from .compressor import compress as _impl
     return _impl(data, level=level, **kw)

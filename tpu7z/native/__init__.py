@@ -61,8 +61,29 @@ def _load():
     lib.tz_lzma_decode_chunk.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
         ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64]
+    try:
+        lib.tz_zstd_encode.restype = ctypes.c_longlong
+        lib.tz_zstd_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.c_int, ctypes.c_int]
+    except AttributeError:
+        pass  # stale .so without the zstd encoder; callers fall back
     LIB = lib
     return lib
+
+
+def zstd_encode(data: bytes, level: int = 3, checksum: bool = True):
+    """Native one-shot zstd frame compression; None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "tz_zstd_encode"):
+        return None
+    cap = len(data) + len(data) // 2 + 4096
+    buf = ctypes.create_string_buffer(cap)
+    r = lib.tz_zstd_encode(data, len(data), buf, cap, int(level),
+                           1 if checksum else 0)
+    if r <= 0:
+        return None
+    return buf.raw[:r]
 
 
 def available() -> bool:

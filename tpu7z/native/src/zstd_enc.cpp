@@ -1,0 +1,1084 @@
+// Native host-tier zstd encoder (frame format per RFC 8878).
+//
+// Role-equivalent of the reference's C encoder (C/zstd/zstd_compress.c)
+// but an independent design: a single hash-chain match finder with
+// repeat-offset probes and lazy deferral feeds per-block entropy
+// sections (length-limited Huffman literals, FSE sequences). The numpy
+// package (tpu7z.models.zstd.compressor) is the data-parallel twin used
+// by the device pipeline; this is the CPU fast path the CLI uses.
+//
+// Bit-level layout choices (stream framing, ncount serialization,
+// canonical Huffman layout) mirror tpu7z/models/zstd/{fse,huffman}.py,
+// which are themselves written from the RFC.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <algorithm>
+
+extern "C" uint64_t tz_xxh64(const uint8_t* p, size_t len, uint64_t seed);
+
+namespace {
+
+constexpr size_t kBlockSize = 128 * 1024;
+constexpr int kMinMatch = 3;        // format minimum (reps can use it)
+constexpr int kMinChainMatch = 4;   // hash-chain matches
+
+// ---------------------------------------------------------------- bitio ---
+// LSB-first forward writer; close() appends the 1-bit end marker and pads.
+// (Decoder reads the finished buffer backward: zstd entropy framing.)
+struct BitWriter {
+    std::vector<uint8_t> buf;
+    uint64_t acc = 0;
+    int nbits = 0;
+    inline void put(uint64_t v, int n) {
+        acc |= (v & ((n == 64) ? ~0ULL : ((1ULL << n) - 1))) << nbits;
+        nbits += n;
+        while (nbits >= 8) {
+            buf.push_back(uint8_t(acc));
+            acc >>= 8;
+            nbits -= 8;
+        }
+    }
+    void close_marker() {
+        put(1, 1);
+        if (nbits) { buf.push_back(uint8_t(acc)); acc = 0; nbits = 0; }
+    }
+    void close_pad() {  // pad to byte without marker (ncount framing)
+        if (nbits) { buf.push_back(uint8_t(acc)); acc = 0; nbits = 0; }
+    }
+};
+
+// ------------------------------------------------------------------ FSE ---
+struct CTable {
+    std::vector<int32_t> state_table;     // size 1<<log
+    std::vector<int32_t> delta_nb;        // per symbol
+    std::vector<int32_t> delta_fs;        // per symbol
+    int log = 0;
+};
+
+static int highbit(uint32_t v) { return 31 - __builtin_clz(v); }
+
+// slot spread shared with decode (fse.py _spread_symbols)
+static bool spread_symbols(const int32_t* counts, int nsym, int log,
+                           std::vector<int32_t>& table) {
+    int size = 1 << log;
+    table.assign(size, 0);
+    int high = size - 1;
+    for (int s = 0; s < nsym; s++)
+        if (counts[s] == -1) table[high--] = s;
+    int step = (size >> 1) + (size >> 3) + 3;
+    int mask = size - 1;
+    int pos = 0;
+    for (int s = 0; s < nsym; s++) {
+        for (int c = 0; c < counts[s]; c++) {
+            table[pos] = s;
+            pos = (pos + step) & mask;
+            while (pos > high) pos = (pos + step) & mask;
+        }
+    }
+    return pos == 0;
+}
+
+static bool build_ctable(const int32_t* counts, int nsym, int log,
+                         CTable& ct) {
+    int size = 1 << log;
+    std::vector<int32_t> spread;
+    if (!spread_symbols(counts, nsym, log, spread)) return false;
+    std::vector<int32_t> cumul(nsym + 1, 0);
+    int acc = 0;
+    for (int s = 0; s < nsym; s++) {
+        cumul[s] = acc;
+        acc += counts[s] == -1 ? 1 : counts[s];
+    }
+    cumul[nsym] = acc;
+    ct.state_table.assign(size, 0);
+    std::vector<int32_t> fill(cumul.begin(), cumul.begin() + nsym);
+    for (int u = 0; u < size; u++) {
+        int s = spread[u];
+        ct.state_table[fill[s]++] = size + u;
+    }
+    ct.delta_nb.assign(nsym, 0);
+    ct.delta_fs.assign(nsym, 0);
+    int total = 0;
+    for (int s = 0; s < nsym; s++) {
+        int c = counts[s];
+        if (c == 0) {
+            ct.delta_nb[s] = ((log + 1) << 16) - (1 << log);
+            ct.delta_fs[s] = 0;
+        } else if (c == -1 || c == 1) {
+            ct.delta_nb[s] = (log << 16) - (1 << log);
+            ct.delta_fs[s] = total - 1;
+            total += 1;
+        } else {
+            int max_bits = log - highbit(c - 1);
+            int min_state_plus = c << max_bits;
+            ct.delta_nb[s] = (max_bits << 16) - min_state_plus;
+            ct.delta_fs[s] = total - c;
+            total += c;
+        }
+    }
+    ct.log = log;
+    return true;
+}
+
+struct FseEnc {
+    const CTable* ct = nullptr;
+    int32_t state = 0;
+    void init(const CTable& t, int first_sym) {
+        ct = &t;
+        int dnb = t.delta_nb[first_sym];
+        int nb = (dnb + (1 << 15)) >> 16;
+        int st = (nb << 16) - dnb;
+        state = t.state_table[(st >> nb) + t.delta_fs[first_sym]];
+    }
+    inline void encode(int sym, BitWriter& w) {
+        int dnb = ct->delta_nb[sym];
+        int nb = (state + dnb) >> 16;
+        w.put(uint64_t(state) & ((1u << nb) - 1), nb);
+        state = ct->state_table[(state >> nb) + ct->delta_fs[sym]];
+    }
+    inline void flush(BitWriter& w) {
+        w.put(uint64_t(state) & ((1u << ct->log) - 1), ct->log);
+    }
+};
+
+// exact largest-remainder normalization (fse.py _normalize_fallback)
+static bool normalize_counts(const uint32_t* hist, int nsym, int log,
+                             int64_t total, std::vector<int32_t>& norm) {
+    int size = 1 << log;
+    norm.assign(nsym, 0);
+    int nz = 0;
+    for (int s = 0; s < nsym; s++) if (hist[s]) nz++;
+    if (nz == 0 || nz > size) return false;
+    int64_t sum = 0;
+    std::vector<double> frac(nsym, 0.0);
+    for (int s = 0; s < nsym; s++) {
+        if (!hist[s]) continue;
+        double ideal = double(hist[s]) * size / double(total);
+        int v = int(ideal);
+        if (v < 1) v = 1;
+        norm[s] = v;
+        frac[s] = ideal - v;
+        sum += v;
+    }
+    int64_t diff = size - sum;
+    // distribute by largest remainder / shave smallest
+    std::vector<int> order(nsym);
+    for (int s = 0; s < nsym; s++) order[s] = s;
+    for (int guard = 0; diff != 0 && guard < 64; guard++) {
+        if (diff > 0) {
+            std::sort(order.begin(), order.end(), [&](int a, int b) {
+                return frac[a] > frac[b];
+            });
+            for (int s : order) {
+                if (diff == 0) break;
+                if (norm[s] > 0) { norm[s]++; frac[s] -= 1.0; diff--; }
+            }
+        } else {
+            std::sort(order.begin(), order.end(), [&](int a, int b) {
+                return frac[a] < frac[b];
+            });
+            for (int s : order) {
+                if (diff == 0) break;
+                if (norm[s] > 1) { norm[s]--; frac[s] += 1.0; diff++; }
+            }
+        }
+    }
+    return diff == 0;
+}
+
+// ncount serialization (fse.py write_ncount)
+static void write_ncount(const int32_t* counts, int n, int log,
+                         BitWriter& w) {
+    w.put(log - 5, 4);
+    int size = 1 << log;
+    int remaining = size + 1;
+    int threshold = size;
+    int nb_bits = log + 1;
+    int i = 0;
+    while (remaining > 1 && i < n) {
+        int c = counts[i];
+        int maxv = 2 * threshold - 1 - remaining;
+        int value = c + 1;
+        if (value < maxv) w.put(value, nb_bits - 1);
+        else w.put(value < threshold ? value : value + maxv, nb_bits);
+        remaining -= c < 0 ? -c : c;
+        i++;
+        if (c == 0) {
+            int j = i;
+            while (remaining > 1) {
+                int run = 0;
+                while (j < n && counts[j] == 0 && run < 3) { run++; j++; }
+                w.put(run, 2);
+                if (run < 3) break;
+            }
+            i = j;
+        }
+        while (remaining < threshold) { nb_bits--; threshold >>= 1; }
+    }
+}
+
+// ------------------------------------------------------------- Huffman ---
+// Length-limited code build: plain Huffman then height clamp to 11 bits
+// (the huffman.py package-merge twin; the clamp redistribution is the
+// classic overflow-repair and is within a fraction of a percent).
+static bool huf_build_lengths(const uint32_t* hist, int* len /*256*/,
+                              int max_bits) {
+    struct Node { uint64_t f; int l, r, sym; };
+    std::vector<Node> nodes;
+    std::vector<int> heap;  // indices, min-heap by freq
+    for (int s = 0; s < 256; s++)
+        if (hist[s]) nodes.push_back({hist[s], -1, -1, s});
+    int nleaf = int(nodes.size());
+    if (nleaf < 2) return false;
+    auto cmp = [&](int a, int b) { return nodes[a].f > nodes[b].f; };
+    for (int i = 0; i < nleaf; i++) heap.push_back(i);
+    std::make_heap(heap.begin(), heap.end(), cmp);
+    while (heap.size() > 1) {
+        std::pop_heap(heap.begin(), heap.end(), cmp);
+        int a = heap.back(); heap.pop_back();
+        std::pop_heap(heap.begin(), heap.end(), cmp);
+        int b = heap.back(); heap.pop_back();
+        nodes.push_back({nodes[a].f + nodes[b].f, a, b, -1});
+        heap.push_back(int(nodes.size()) - 1);
+        std::push_heap(heap.begin(), heap.end(), cmp);
+    }
+    // depths via iterative DFS
+    std::vector<std::pair<int, int>> st;  // (node, depth)
+    st.push_back({heap[0], 0});
+    std::fill(len, len + 256, 0);
+    std::vector<int> depth_cnt(64, 0);
+    while (!st.empty()) {
+        auto [ni, d] = st.back(); st.pop_back();
+        const Node& nd = nodes[ni];
+        if (nd.sym >= 0) {
+            int dd = d < 1 ? 1 : d;
+            len[nd.sym] = dd;
+            depth_cnt[std::min(dd, 63)]++;
+        } else {
+            st.push_back({nd.l, d + 1});
+            st.push_back({nd.r, d + 1});
+        }
+    }
+    // clamp to max_bits: push overflowed leaves up, repair Kraft sum
+    bool overflow = false;
+    for (int s = 0; s < 256; s++)
+        if (len[s] > max_bits) { len[s] = max_bits; overflow = true; }
+    if (overflow) {
+        // Kraft sum in units of 2^-max_bits
+        int64_t k = 0;
+        for (int s = 0; s < 256; s++)
+            if (len[s]) k += 1LL << (max_bits - len[s]);
+        int64_t target = 1LL << max_bits;
+        // demote shortest-excess codes until the sum fits
+        while (k > target) {
+            // find a max_bits-1 or shorter code to lengthen (cheapest:
+            // the longest code < max_bits)
+            int pick = -1, plen = 0;
+            for (int s = 0; s < 256; s++)
+                if (len[s] && len[s] < max_bits && len[s] > plen) {
+                    plen = len[s]; pick = s;
+                }
+            if (pick < 0) return false;
+            k -= 1LL << (max_bits - len[pick]);
+            len[pick]++;
+            k += 1LL << (max_bits - len[pick]);
+        }
+        // promote codes while there is slack (shortens the stream)
+        bool changed = true;
+        while (k < target && changed) {
+            changed = false;
+            for (int s = 0; s < 256 && k < target; s++) {
+                if (len[s] > 1 &&
+                    k + (1LL << (max_bits - len[s])) <= target) {
+                    k += 1LL << (max_bits - len[s]);
+                    len[s]--;
+                    changed = true;
+                }
+            }
+        }
+        if (k != target) return false;
+    }
+    return true;
+}
+
+// canonical encode table per huffman.py build_encode_table
+static void huf_encode_table(const int* weights, int table_log,
+                             uint32_t* code_val, int* code_bits) {
+    int pos = 0;
+    std::fill(code_bits, code_bits + 256, 0);
+    std::fill(code_val, code_val + 256, 0u);
+    for (int w = 1; w <= table_log; w++) {
+        int span = 1 << (w - 1);
+        int nbits = table_log + 1 - w;
+        for (int s = 0; s < 256; s++) {
+            if (weights[s] == w) {
+                code_val[s] = uint32_t(pos >> (table_log - nbits));
+                code_bits[s] = nbits;
+                pos += span;
+            }
+        }
+    }
+}
+
+// --- FSE-weights round-trip verifier ---------------------------------
+// The backward-stream end detection can overshoot when the final state
+// transitions read 0 bits; mirror huffman.py by decoding the candidate
+// payload and rejecting it on any mismatch.
+struct FwdReader {
+    const uint8_t* p;
+    size_t len;
+    size_t bit = 0;
+    bool fail = false;
+    uint32_t read(int nb) {
+        uint64_t acc = 0;
+        size_t byte0 = bit >> 3;
+        for (int k = 0; k < 8; k++)
+            acc |= uint64_t(byte0 + k < len ? p[byte0 + k] : 0) << (8 * k);
+        uint32_t v = uint32_t((acc >> (bit & 7)) & ((1ULL << nb) - 1));
+        bit += nb;
+        if (bit > len * 8) fail = true;
+        return v;
+    }
+    size_t bytes_consumed() const { return (bit + 7) >> 3; }
+};
+
+struct BackReader {
+    const uint8_t* p;
+    size_t len;
+    long bitpos;
+    void init(const uint8_t* s, size_t l) {
+        p = s; len = l;
+        int last = l ? s[l - 1] : 0;
+        if (!last) { bitpos = -1; return; }
+        bitpos = long(l - 1) * 8 + highbit(uint32_t(last));
+    }
+    uint32_t read(int nb) {
+        bitpos -= nb;
+        if (nb == 0) return 0;
+        long b0 = bitpos >> 3;
+        uint64_t acc = 0;
+        for (int k = 0; k < 8; k++) {
+            long idx = b0 + k;
+            if (idx >= 0 && size_t(idx) < len)
+                acc |= uint64_t(p[idx]) << (8 * k);
+        }
+        int sh = int(bitpos - (b0 << 3));
+        return uint32_t((acc >> sh) & ((1ULL << nb) - 1));
+    }
+};
+
+static bool read_ncount_c(FwdReader& r, int max_sym, int max_log,
+                          std::vector<int32_t>& counts, int& log) {
+    log = int(r.read(4)) + 5;
+    if (log > max_log || r.fail) return false;
+    int size = 1 << log;
+    int remaining = size + 1;
+    int threshold = size;
+    int nb_bits = log + 1;
+    counts.clear();
+    bool prev_zero = false;
+    while (remaining > 1) {
+        if (int(counts.size()) > max_sym + 1 || r.fail) return false;
+        if (prev_zero) {
+            for (;;) {
+                int rep = int(r.read(2));
+                for (int k = 0; k < rep; k++) counts.push_back(0);
+                if (rep < 3) break;
+                if (int(counts.size()) > max_sym + 1) return false;
+            }
+            prev_zero = false;
+            continue;
+        }
+        int maxv = 2 * threshold - 1 - remaining;
+        int value = int(r.read(nb_bits - 1));
+        if (value >= maxv) {
+            value |= int(r.read(1)) << (nb_bits - 1);
+            if (value >= threshold) value -= maxv;
+        }
+        int c = value - 1;
+        remaining -= c < 0 ? -c : c;
+        counts.push_back(c);
+        prev_zero = c == 0;
+        while (remaining < threshold) { nb_bits--; threshold >>= 1; }
+    }
+    return remaining == 1 && !r.fail;
+}
+
+static bool fse_weights_roundtrip(const uint8_t* payload, size_t plen,
+                                  const int* weights, int nwrite) {
+    FwdReader r{payload, plen};
+    std::vector<int32_t> counts;
+    int log;
+    if (!read_ncount_c(r, 255, 6, counts, log)) return false;
+    int nsym = int(counts.size());
+    int size = 1 << log;
+    std::vector<int32_t> spread;
+    if (!spread_symbols(counts.data(), nsym, log, spread)) return false;
+    std::vector<int32_t> sym(size), nb(size), base(size), nxt(nsym);
+    for (int s = 0; s < nsym; s++)
+        nxt[s] = counts[s] < 0 ? 1 : counts[s];
+    for (int u = 0; u < size; u++) {
+        int s = spread[u];
+        int ns = nxt[s]++;
+        int b = log - highbit(uint32_t(ns));
+        sym[u] = s; nb[u] = b; base[u] = (ns << b) - size;
+    }
+    size_t hdr = r.bytes_consumed();
+    if (hdr >= plen) return false;
+    BackReader br;
+    br.init(payload + hdr, plen - hdr);
+    if (br.bitpos < 0) return false;
+    int st[2];
+    st[0] = int(br.read(log));
+    st[1] = int(br.read(log));
+    if (br.bitpos < 0) return false;
+    std::vector<int> outw;
+    for (int i = 0; int(outw.size()) <= 255; i ^= 1) {
+        outw.push_back(sym[st[i]]);
+        st[i] = base[st[i]] + int(br.read(nb[st[i]]));
+        if (br.bitpos < 0) { outw.push_back(sym[st[i ^ 1]]); break; }
+    }
+    if (int(outw.size()) != nwrite) return false;
+    for (int k = 0; k < nwrite; k++)
+        if (outw[k] != weights[k]) return false;
+    return true;
+}
+
+// weights serialization: direct nibbles, or FSE-compressed when needed
+static bool huf_write_tree(const int* weights, int nsym_total,
+                           std::vector<uint8_t>& out) {
+    int last = -1;
+    for (int s = 0; s < nsym_total; s++) if (weights[s] > 0) last = s;
+    if (last < 0) return false;
+    int nwrite = last;  // weights[0..last-1]; last is implied
+    if (nwrite < 128) {
+        out.push_back(uint8_t(127 + nwrite));
+        for (int i = 0; i < nwrite; i += 2) {
+            int hi = weights[i] & 0xF;
+            int lo = (i + 1 < nwrite) ? (weights[i + 1] & 0xF) : 0;
+            out.push_back(uint8_t((hi << 4) | lo));
+        }
+        return true;
+    }
+    // FSE-compressed weights (huffman.py _write_weights_fse)
+    uint32_t hist[16] = {0};
+    int max_w = 0;
+    for (int i = 0; i < nwrite; i++) {
+        hist[weights[i] & 0xF]++;
+        if (weights[i] > max_w) max_w = weights[i];
+    }
+    int distinct = 0;
+    for (int v = 0; v <= max_w; v++) if (hist[v]) distinct++;
+    if (distinct < 2) return false;
+    int log = 0;
+    while ((1 << log) < distinct) log++;
+    if (log < 5) log = 5;
+    if (log > 6) log = 6;
+    std::vector<int32_t> norm;
+    if (!normalize_counts(hist, max_w + 1, log, nwrite, norm)) return false;
+    CTable ct;
+    if (!build_ctable(norm.data(), max_w + 1, log, ct)) return false;
+    BitWriter hw;
+    write_ncount(norm.data(), max_w + 1, log, hw);
+    hw.close_pad();
+    BitWriter sw;
+    // two interleaved states; decoder order: init1, init2, then one
+    // transition per decoded symbol k (k = 0..n-3). Encoder writes
+    // trans(n-3)..trans(0), then init2, then init1.
+    int n = nwrite;
+    FseEnc e1, e2;
+    // state1 owns even positions; its symbols last-first
+    int last_even = (n - 1) & ~1;
+    int last_odd = ((n - 2) >= 0) ? (((n - 1) & 1) ? (n - 1) : (n - 2)) : -1;
+    e1.init(ct, weights[last_even]);
+    bool has2 = last_odd >= 1;
+    if (has2) e2.init(ct, weights[last_odd]);
+    for (int k = n - 3; k >= 0; k--) {
+        if ((k & 1) == 0) e1.encode(weights[k], sw);
+        else e2.encode(weights[k], sw);
+    }
+    if (has2) e2.flush(sw);
+    e1.flush(sw);
+    sw.close_marker();
+    size_t payload = hw.buf.size() + sw.buf.size();
+    if (payload >= 128 || payload >= size_t(n)) return false;
+    std::vector<uint8_t> pbuf(hw.buf);
+    pbuf.insert(pbuf.end(), sw.buf.begin(), sw.buf.end());
+    if (!fse_weights_roundtrip(pbuf.data(), pbuf.size(), weights, n))
+        return false;
+    out.push_back(uint8_t(payload));
+    out.insert(out.end(), pbuf.begin(), pbuf.end());
+    return true;
+}
+
+// one backward-decoded Huffman stream: symbols emitted in reverse
+static void huf_stream(const uint8_t* lits, size_t n,
+                       const uint32_t* code_val, const int* code_bits,
+                       std::vector<uint8_t>& out) {
+    BitWriter w;
+    for (size_t i = n; i-- > 0;) {
+        int s = lits[i];
+        w.put(code_val[s], code_bits[s]);
+    }
+    w.close_marker();
+    out.insert(out.end(), w.buf.begin(), w.buf.end());
+}
+
+// ------------------------------------------------- sequence code tables ---
+static const int kLLbits[36] = {0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,
+                                1,1,1,1,2,2,3,3,4,6,7,8,9,10,11,12,13,14,15,16};
+static const uint32_t kLLbase[36] = {0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,
+                                     16,18,20,22,24,28,32,40,48,64,128,256,512,
+                                     1024,2048,4096,8192,16384,32768,65536};
+static const int kMLbits[53] = {0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,
+                                0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,
+                                1,1,1,1,2,2,3,3,4,4,5,7,8,9,10,11,12,13,14,15,16};
+static const uint32_t kMLbase[53] = {3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,
+                                     19,20,21,22,23,24,25,26,27,28,29,30,31,32,33,34,
+                                     35,37,39,41,43,47,51,59,67,83,99,131,259,515,
+                                     1027,2051,4099,8195,16387,32771,65539};
+static const int32_t kLLdef[36] = {4,3,2,2,2,2,2,2,2,2,2,2,2,1,1,1,
+                                   2,2,2,2,2,2,2,2,2,3,2,1,1,1,1,1,-1,-1,-1,-1};
+static const int32_t kMLdef[53] = {1,4,3,2,2,2,2,2,2,1,1,1,1,1,1,1,
+                                   1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,
+                                   1,1,1,1,1,1,1,1,1,1,1,1,1,1,-1,-1,-1,-1,-1,-1,-1};
+static const int32_t kOFdef[29] = {1,1,1,1,1,1,2,2,2,1,1,1,1,1,1,1,
+                                   1,1,1,1,1,1,1,1,-1,-1,-1,-1,-1};
+constexpr int kLLdefLog = 6, kMLdefLog = 6, kOFdefLog = 5;
+constexpr int kMaxLLlog = 9, kMaxMLlog = 9, kMaxOFlog = 8;
+
+static inline int ll_code(uint32_t ll) {
+    if (ll < 16) return ll;
+    int c = 16;
+    while (c + 1 < 36 && kLLbase[c + 1] <= ll) c++;
+    return c;
+}
+static inline int ml_code(uint32_t ml) {
+    if (ml < 35) return int(ml) - 3;
+    int c = 32;
+    while (c + 1 < 53 && kMLbase[c + 1] <= ml) c++;
+    return c;
+}
+
+// --------------------------------------------------------- seq encoding ---
+struct Seq { uint32_t ll, ml, ofv; };  // ofv = Offset_Value (rep-resolved)
+
+enum Mode { PREDEF = 0, RLE = 1, FSE_M = 2 };
+
+struct TableChoice {
+    Mode mode;
+    std::vector<uint8_t> header;
+    CTable ct;
+};
+
+static void choose_table(const uint8_t* codes, int nseq, int max_sym,
+                         int max_log, const int32_t* def_norm, int def_n,
+                         int def_log, TableChoice& tc) {
+    std::vector<uint32_t> hist(max_sym + 1, 0);
+    int last_used = 0;
+    for (int i = 0; i < nseq; i++) {
+        hist[codes[i]]++;
+        if (codes[i] > last_used) last_used = codes[i];
+    }
+    int used = 0;
+    for (int s = 0; s <= max_sym; s++) if (hist[s]) used++;
+    if (used == 1) {
+        tc.mode = RLE;
+        tc.header.assign(1, uint8_t(last_used));
+        return;
+    }
+    bool predef_ok = last_used < def_n;
+    if (predef_ok)
+        for (int s = 0; s <= last_used; s++)
+            if (hist[s] && def_norm[s] == 0) { predef_ok = false; break; }
+    if (nseq < 32 && predef_ok) {
+        tc.mode = PREDEF;
+        build_ctable(def_norm, def_n, def_log, tc.ct);
+        return;
+    }
+    int tl = std::max(5, 32 - __builtin_clz(uint32_t(std::max(nseq - 1, 1))) - 2);
+    int min_tl = 0;
+    while ((1 << min_tl) < used) min_tl++;
+    tl = std::min(std::max(tl, std::max(min_tl, 1)), max_log);
+    std::vector<int32_t> norm;
+    if (!normalize_counts(hist.data(), last_used + 1, tl, nseq, norm)) {
+        tc.mode = PREDEF;
+        build_ctable(def_norm, def_n, def_log, tc.ct);
+        return;
+    }
+    BitWriter hw;
+    write_ncount(norm.data(), last_used + 1, tl, hw);
+    hw.close_pad();
+    // entropy comparison vs predefined
+    if (predef_ok) {
+        double pd_cost = 0, cu_cost = 8.0 * hw.buf.size();
+        for (int s = 0; s <= last_used; s++) {
+            if (!hist[s]) continue;
+            double pdp = (def_norm[s] < 0 ? 0.5 : def_norm[s]) /
+                         double(1 << def_log);
+            double cup = (norm[s] < 0 ? 0.5 : double(norm[s])) /
+                         double(1 << tl);
+            pd_cost -= hist[s] * std::log2(pdp);
+            cu_cost -= hist[s] * std::log2(std::max(cup, 1e-9));
+        }
+        // log2 of a probability is negative; -= accumulates positive bits
+        if (pd_cost <= cu_cost) {
+            tc.mode = PREDEF;
+            build_ctable(def_norm, def_n, def_log, tc.ct);
+            return;
+        }
+    }
+    tc.mode = FSE_M;
+    tc.header = hw.buf;
+    build_ctable(norm.data(), last_used + 1, tl, tc.ct);
+}
+
+static void encode_sequences(const std::vector<Seq>& seqs,
+                             std::vector<uint8_t>& out) {
+    int nseq = int(seqs.size());
+    if (nseq < 128) out.push_back(uint8_t(nseq));
+    else if (nseq < 0x7F00) {
+        out.push_back(uint8_t(128 + (nseq >> 8)));
+        out.push_back(uint8_t(nseq & 0xFF));
+    } else {
+        out.push_back(255);
+        out.push_back(uint8_t((nseq - 0x7F00) & 0xFF));
+        out.push_back(uint8_t(((nseq - 0x7F00) >> 8) & 0xFF));
+    }
+    if (!nseq) return;
+    std::vector<uint8_t> llc(nseq), ofc(nseq), mlc(nseq);
+    for (int i = 0; i < nseq; i++) {
+        llc[i] = uint8_t(ll_code(seqs[i].ll));
+        mlc[i] = uint8_t(ml_code(seqs[i].ml));
+        ofc[i] = uint8_t(highbit(seqs[i].ofv));
+    }
+    TableChoice tll, tof, tml;
+    choose_table(llc.data(), nseq, 35, kMaxLLlog, kLLdef, 36, kLLdefLog, tll);
+    choose_table(ofc.data(), nseq, 31, kMaxOFlog, kOFdef, 29, kOFdefLog, tof);
+    choose_table(mlc.data(), nseq, 52, kMaxMLlog, kMLdef, 53, kMLdefLog, tml);
+    out.push_back(uint8_t((tll.mode << 6) | (tof.mode << 4) | (tml.mode << 2)));
+    out.insert(out.end(), tll.header.begin(), tll.header.end());
+    out.insert(out.end(), tof.header.begin(), tof.header.end());
+    out.insert(out.end(), tml.header.begin(), tml.header.end());
+
+    BitWriter w;
+    FseEnc ell, eof_, eml;
+    bool fll = tll.mode != RLE, fof = tof.mode != RLE, fml = tml.mode != RLE;
+    int last = nseq - 1;
+    if (fml) eml.init(tml.ct, mlc[last]);
+    if (fof) eof_.init(tof.ct, ofc[last]);
+    if (fll) ell.init(tll.ct, llc[last]);
+    auto put_extras = [&](int i) {
+        w.put(seqs[i].ll - kLLbase[llc[i]], kLLbits[llc[i]]);
+        w.put(seqs[i].ml - kMLbase[mlc[i]], kMLbits[mlc[i]]);
+        w.put(seqs[i].ofv - (1u << ofc[i]), ofc[i]);
+    };
+    put_extras(last);
+    for (int i = nseq - 2; i >= 0; i--) {
+        if (fof) eof_.encode(ofc[i], w);
+        if (fml) eml.encode(mlc[i], w);
+        if (fll) ell.encode(llc[i], w);
+        put_extras(i);
+    }
+    if (fml) eml.flush(w);
+    if (fof) eof_.flush(w);
+    if (fll) ell.flush(w);
+    w.close_marker();
+    out.insert(out.end(), w.buf.begin(), w.buf.end());
+}
+
+// -------------------------------------------------------- literals enc ---
+static void literals_raw(const uint8_t* lits, size_t n,
+                         std::vector<uint8_t>& out) {
+    if (n < 32) out.push_back(uint8_t((n << 3) | 0));
+    else if (n < 4096) {
+        out.push_back(uint8_t(((n & 0xF) << 4) | (1 << 2) | 0));
+        out.push_back(uint8_t((n >> 4) & 0xFF));
+    } else {
+        out.push_back(uint8_t(((n & 0xF) << 4) | (3 << 2) | 0));
+        out.push_back(uint8_t((n >> 4) & 0xFF));
+        out.push_back(uint8_t((n >> 12) & 0xFF));
+    }
+    out.insert(out.end(), lits, lits + n);
+}
+
+static void literals_rle(uint8_t byte, size_t n, std::vector<uint8_t>& out) {
+    if (n < 32) out.push_back(uint8_t((n << 3) | 1));
+    else if (n < 4096) {
+        out.push_back(uint8_t(((n & 0xF) << 4) | (1 << 2) | 1));
+        out.push_back(uint8_t((n >> 4) & 0xFF));
+    } else {
+        out.push_back(uint8_t(((n & 0xF) << 4) | (3 << 2) | 1));
+        out.push_back(uint8_t((n >> 4) & 0xFF));
+        out.push_back(uint8_t((n >> 12) & 0xFF));
+    }
+    out.push_back(byte);
+}
+
+static bool literals_comp_header(size_t regen, size_t csize, bool four,
+                                 std::vector<uint8_t>& out) {
+    if (!four) {
+        if (regen > 1023 || csize > 1023) return false;
+        uint32_t h = 2 | (0u << 2) | (uint32_t(regen) << 4) |
+                     (uint32_t(csize) << 14);
+        out.push_back(h & 0xFF); out.push_back((h >> 8) & 0xFF);
+        out.push_back((h >> 16) & 0xFF);
+        return true;
+    }
+    if (regen <= 1023 && csize <= 1023) {
+        uint32_t h = 2 | (1u << 2) | (uint32_t(regen) << 4) |
+                     (uint32_t(csize) << 14);
+        out.push_back(h & 0xFF); out.push_back((h >> 8) & 0xFF);
+        out.push_back((h >> 16) & 0xFF);
+        return true;
+    }
+    if (regen <= 0x3FFF && csize <= 0x3FFF) {
+        uint32_t h = 2 | (2u << 2) | (uint32_t(regen) << 4) |
+                     (uint32_t(csize) << 18);
+        for (int b = 0; b < 4; b++) out.push_back((h >> (8 * b)) & 0xFF);
+        return true;
+    }
+    if (regen <= 0x3FFFF && csize <= 0x3FFFF) {
+        uint64_t h = 2 | (3u << 2) | (uint64_t(regen) << 4) |
+                     (uint64_t(csize) << 22);
+        for (int b = 0; b < 5; b++) out.push_back((h >> (8 * b)) & 0xFF);
+        return true;
+    }
+    return false;
+}
+
+static void encode_literals(const uint8_t* lits, size_t n,
+                            std::vector<uint8_t>& out) {
+    if (n == 0) { literals_raw(lits, n, out); return; }
+    bool all_same = true;
+    for (size_t i = 1; i < n; i++)
+        if (lits[i] != lits[0]) { all_same = false; break; }
+    if (all_same) { literals_rle(lits[0], n, out); return; }
+    if (n < 32) { literals_raw(lits, n, out); return; }
+    uint32_t hist[256] = {0};
+    for (size_t i = 0; i < n; i++) hist[lits[i]]++;
+    int lens[256];
+    if (!huf_build_lengths(hist, lens, 11)) { literals_raw(lits, n, out); return; }
+    int max_len = 0;
+    for (int s = 0; s < 256; s++) max_len = std::max(max_len, lens[s]);
+    int weights[256];
+    int nsym = 0;
+    for (int s = 0; s < 256; s++) {
+        weights[s] = lens[s] ? (max_len + 1 - lens[s]) : 0;
+        if (lens[s]) nsym = s + 1;
+    }
+    std::vector<uint8_t> tree;
+    if (!huf_write_tree(weights, nsym, tree)) { literals_raw(lits, n, out); return; }
+    uint32_t code_val[256]; int code_bits[256];
+    huf_encode_table(weights, max_len, code_val, code_bits);
+    bool four = n >= 256;
+    std::vector<uint8_t> payload(tree);
+    if (four) {
+        size_t n123 = (n + 3) / 4;
+        std::vector<uint8_t> s1, s2, s3, s4;
+        huf_stream(lits, n123, code_val, code_bits, s1);
+        huf_stream(lits + n123, n123, code_val, code_bits, s2);
+        huf_stream(lits + 2 * n123, n123, code_val, code_bits, s3);
+        huf_stream(lits + 3 * n123, n - 3 * n123, code_val, code_bits, s4);
+        for (auto* s : {&s1, &s2, &s3}) {
+            payload.push_back(uint8_t(s->size() & 0xFF));
+            payload.push_back(uint8_t((s->size() >> 8) & 0xFF));
+        }
+        payload.insert(payload.end(), s1.begin(), s1.end());
+        payload.insert(payload.end(), s2.begin(), s2.end());
+        payload.insert(payload.end(), s3.begin(), s3.end());
+        payload.insert(payload.end(), s4.begin(), s4.end());
+    } else {
+        huf_stream(lits, n, code_val, code_bits, payload);
+    }
+    std::vector<uint8_t> hdr;
+    if (!literals_comp_header(n, payload.size(), four, hdr) ||
+        hdr.size() + payload.size() >= n + (n < 32 ? 1 : n < 4096 ? 2 : 3)) {
+        literals_raw(lits, n, out);
+        return;
+    }
+    out.insert(out.end(), hdr.begin(), hdr.end());
+    out.insert(out.end(), payload.begin(), payload.end());
+}
+
+// --------------------------------------------------------- match finder ---
+struct Rep { uint32_t r0 = 1, r1 = 4, r2 = 8; };
+
+struct Params {
+    int hash_log;
+    int depth;       // chain walk budget
+    int lazy;        // 0/1/2
+    int accel_shift; // literal-run skip acceleration (zstd_fast style)
+    int ins_step;    // match-interior indexing stride threshold
+    uint32_t window; // max offset
+};
+
+static Params level_params(int level, size_t n) {
+    Params p;
+    if (level <= 1)       { p.hash_log = 16; p.depth = 4;   p.lazy = 0;
+                            p.accel_shift = 7;  p.ins_step = 32; }
+    else if (level <= 3)  { p.hash_log = 17; p.depth = 8;   p.lazy = 0;
+                            p.accel_shift = 8;  p.ins_step = 64; }
+    else if (level <= 6)  { p.hash_log = 18; p.depth = 32;  p.lazy = 1;
+                            p.accel_shift = 10; p.ins_step = 256; }
+    else if (level <= 11) { p.hash_log = 19; p.depth = 64;  p.lazy = 1;
+                            p.accel_shift = 12; p.ins_step = 1024; }
+    else if (level <= 16) { p.hash_log = 20; p.depth = 128; p.lazy = 2;
+                            p.accel_shift = 14; p.ins_step = 4096; }
+    else                  { p.hash_log = 21; p.depth = 512; p.lazy = 2;
+                            p.accel_shift = 30; p.ins_step = 4096; }
+    uint64_t w = 1ULL << (level <= 1 ? 19 : level <= 3 ? 21 :
+                          level <= 11 ? 23 : 27);
+    p.window = uint32_t(std::min<uint64_t>(w, n ? n : 1));
+    return p;
+}
+
+static inline uint32_t load32(const uint8_t* p) {
+    uint32_t v; memcpy(&v, p, 4); return v;
+}
+static inline uint64_t load64(const uint8_t* p) {
+    uint64_t v; memcpy(&v, p, 8); return v;
+}
+
+static inline size_t match_len(const uint8_t* a, const uint8_t* b,
+                               const uint8_t* end) {
+    const uint8_t* a0 = a;
+    while (a + 8 <= end) {
+        uint64_t x = load64(a) ^ load64(b);
+        if (x) return size_t(a - a0) + (__builtin_ctzll(x) >> 3);
+        a += 8; b += 8;
+    }
+    while (a < end && *a == *b) { a++; b++; }
+    return size_t(a - a0);
+}
+
+struct Matcher {
+    std::vector<int32_t> head;
+    std::vector<int32_t> prev;
+    uint32_t hl;
+    const uint8_t* base;
+    size_t n;
+    void init(const uint8_t* src, size_t len, int hash_log) {
+        base = src; n = len; hl = hash_log;
+        head.assign(size_t(1) << hash_log, -1);
+        prev.assign(len, -1);
+    }
+    inline uint32_t hash_at(size_t i) const {
+        return (load32(base + i) * 2654435761u) >> (32 - hl);
+    }
+    inline void insert(size_t i) {
+        uint32_t h = hash_at(i);
+        prev[i] = head[h];
+        head[h] = int32_t(i);
+    }
+    // best chain match at i (capped at `end_pos`); returns length, sets off
+    inline size_t best(size_t i, size_t end_pos, int depth, uint32_t window,
+                       uint32_t& off) const {
+        if (i + 8 > end_pos) return 0;
+        const uint8_t* end = base + end_pos;
+        uint32_t v = load32(base + i);
+        int32_t c = head[hash_at(i)];
+        size_t best_len = 0;
+        long best_score = -1;
+        size_t min_pos = i > window ? i - window : 0;
+        for (int d = 0; d < depth && c >= 0 && size_t(c) >= min_pos;
+             d++, c = prev[c]) {
+            if (load32(base + c) != v) continue;
+            size_t len = 4 + match_len(base + i + 4, base + c + 4, end);
+            long score = long(8 * len) - highbit(uint32_t(i - c));
+            if (score > best_score) {
+                best_score = score;
+                best_len = len;
+                off = uint32_t(i - c);
+            }
+        }
+        return best_len >= kMinChainMatch ? best_len : 0;
+    }
+};
+
+// offset -> Offset_Value with repeat codes (compressor.py
+// _offset_values_with_reps; RFC 3.1.1.3.2.1.1 update rules)
+static inline uint32_t ofv_of(uint32_t off, uint32_t ll, Rep& rep) {
+    if (ll != 0) {
+        if (off == rep.r0) return 1;
+        if (off == rep.r1) { rep.r1 = rep.r0; rep.r0 = off; return 2; }
+        if (off == rep.r2) {
+            rep.r2 = rep.r1; rep.r1 = rep.r0; rep.r0 = off; return 3;
+        }
+    } else {
+        if (off == rep.r1) { rep.r1 = rep.r0; rep.r0 = off; return 1; }
+        if (off == rep.r2) {
+            rep.r2 = rep.r1; rep.r1 = rep.r0; rep.r0 = off; return 2;
+        }
+        if (off == rep.r0 - 1) {
+            rep.r2 = rep.r1; rep.r1 = rep.r0; rep.r0 = off; return 3;
+        }
+    }
+    rep.r2 = rep.r1; rep.r1 = rep.r0; rep.r0 = off;
+    return off + 3;
+}
+
+}  // namespace
+
+// ------------------------------------------------------------- driver ---
+extern "C" long long tz_zstd_encode(const uint8_t* src, size_t n,
+                                    uint8_t* dst, size_t cap,
+                                    int level, int checksum) {
+    std::vector<uint8_t> out;
+    out.reserve(n / 2 + 1024);
+    // frame header: single-segment + FCS (frame.py write_frame_header)
+    uint32_t magic = 0xFD2FB528u;
+    for (int b = 0; b < 4; b++) out.push_back((magic >> (8 * b)) & 0xFF);
+    {
+        int fcs_flag, fcs_bytes;
+        if (n < 256) { fcs_flag = 0; fcs_bytes = 1; }
+        else if (n <= 0xFFFFull + 256) { fcs_flag = 1; fcs_bytes = 2; }
+        else if (n <= 0xFFFFFFFFull) { fcs_flag = 2; fcs_bytes = 4; }
+        else { fcs_flag = 3; fcs_bytes = 8; }
+        uint8_t fhd = uint8_t((fcs_flag << 6) | (1 << 5) |
+                              (checksum ? (1 << 2) : 0));
+        out.push_back(fhd);
+        uint64_t fcs = n;
+        if (fcs_flag == 1) fcs -= 256;
+        for (int b = 0; b < fcs_bytes; b++)
+            out.push_back((fcs >> (8 * b)) & 0xFF);
+    }
+    if (n == 0) {
+        out.push_back(0x01); out.push_back(0x00); out.push_back(0x00);
+    } else {
+        Params P = level_params(level, n);
+        Matcher M;
+        M.init(src, n, P.hash_log);
+        Rep rep;
+        size_t nblocks = (n + kBlockSize - 1) / kBlockSize;
+        std::vector<Seq> seqs;
+        std::vector<uint8_t> lits, body;
+        size_t next_ins = 0;  // chain-insertion cursor (each pos once)
+        const size_t ins_max = n >= 4 ? n - 4 : 0;
+        auto insert_to = [&](size_t k, size_t step) {
+            size_t lim = std::min(k, ins_max);
+            for (size_t j = next_ins; j < lim; j += step) M.insert(j);
+            next_ins = std::max(next_ins, k);
+        };
+        for (size_t b = 0; b < nblocks; b++) {
+            size_t bs = b * kBlockSize;
+            size_t be = std::min(bs + kBlockSize, n);
+            size_t blen = be - bs;
+            int lastf = (b == nblocks - 1) ? 1 : 0;
+            // RLE block?
+            bool uni = blen >= 8;
+            for (size_t i = bs + 1; uni && i < be; i++)
+                uni = src[i] == src[bs];
+            if (uni) {
+                // index only the run's edges (interior is redundant)
+                insert_to(std::min(bs + 64, be), 1);
+                if (be >= bs + 128) next_ins = be - 64;
+                insert_to(be, 1);
+                uint32_t bh = uint32_t(lastf) | (1u << 1) |
+                              (uint32_t(blen) << 3);
+                out.push_back(bh & 0xFF); out.push_back((bh >> 8) & 0xFF);
+                out.push_back((bh >> 16) & 0xFF);
+                out.push_back(src[bs]);
+                continue;
+            }
+            seqs.clear(); lits.clear(); body.clear();
+            Rep rep_snap = rep;
+            size_t lit_anchor = bs;
+            size_t i = bs;
+            const size_t limit8 = be >= 8 ? be - 8 : 0;
+            auto rep_probe = [&](size_t p, uint32_t r0) -> size_t {
+                if (p < r0 || p + 3 > be) return 0;
+                const uint8_t* a = src + p;
+                const uint8_t* bb = a - r0;
+                if (a[0] != bb[0] || a[1] != bb[1] || a[2] != bb[2])
+                    return 0;
+                return 3 + match_len(a + 3, bb + 3, src + be);
+            };
+            while (i < limit8) {
+                insert_to(i, 1);  // positions strictly before the query
+                size_t rlen = rep_probe(i, rep.r0);
+                uint32_t coff = 0;
+                size_t clen = M.best(i, be, P.depth, P.window, coff);
+                // prefer rep unless the chain match is clearly longer
+                bool use_rep = rlen >= 3 && (clen == 0 || rlen + 1 >= clen);
+                size_t mlen = use_rep ? rlen : clen;
+                uint32_t moff = use_rep ? rep.r0 : coff;
+                if (mlen < 3) {
+                    // accelerate through matchless stretches: the probed
+                    // position is indexed, the skipped ones are not
+                    // (zstd_fast semantics)
+                    if (i >= next_ins && i < ins_max) {
+                        M.insert(i);
+                        next_ins = i + 1;
+                    }
+                    size_t skip = 1 + ((i - lit_anchor) >> P.accel_shift);
+                    i += skip;
+                    next_ins = std::max(next_ins, i);
+                    continue;
+                }
+                // lazy: defer to a better match at i+1
+                int lz = P.lazy;
+                while (lz-- > 0 && i + 1 < limit8) {
+                    insert_to(i + 1, 1);
+                    uint32_t noff = 0;
+                    size_t nlen = M.best(i + 1, be, P.depth, P.window, noff);
+                    size_t nrlen = rep_probe(i + 1, rep.r0);
+                    bool nrep = nrlen >= 3 && (nlen == 0 || nrlen + 1 >= nlen);
+                    size_t cand_len = nrep ? nrlen : nlen;
+                    uint32_t cand_off = nrep ? rep.r0 : noff;
+                    long cur = long(8 * mlen) -
+                               (use_rep ? 1 : highbit(moff));
+                    long nxt = long(8 * cand_len) -
+                               (nrep ? 1 : (cand_len ? highbit(cand_off) : 60));
+                    if (cand_len >= 3 && nxt > cur + 6) {
+                        i++;
+                        mlen = cand_len; moff = cand_off; use_rep = nrep;
+                    } else break;
+                }
+                uint32_t ll = uint32_t(i - lit_anchor);
+                lits.insert(lits.end(), src + lit_anchor, src + i);
+                Seq q;
+                q.ll = ll; q.ml = uint32_t(mlen);
+                q.ofv = ofv_of(moff, ll, rep);
+                seqs.push_back(q);
+                // index match interior (sparsely when long)
+                size_t mend = i + mlen;
+                insert_to(mend, mlen > size_t(P.ins_step) ? 16 : 1);
+                i = mend;
+                lit_anchor = i;
+            }
+            insert_to(be, 1);
+            // trailing literals
+            if (lit_anchor < be)
+                lits.insert(lits.end(), src + lit_anchor, src + be);
+            // assemble block body
+            encode_literals(lits.data(), lits.size(), body);
+            encode_sequences(seqs, body);
+            if (body.size() >= blen) {
+                rep = rep_snap;  // decoder reps don't advance on raw
+                uint32_t bh = uint32_t(lastf) | (0u << 1) |
+                              (uint32_t(blen) << 3);
+                out.push_back(bh & 0xFF); out.push_back((bh >> 8) & 0xFF);
+                out.push_back((bh >> 16) & 0xFF);
+                out.insert(out.end(), src + bs, src + be);
+            } else {
+                uint32_t bh = uint32_t(lastf) | (2u << 1) |
+                              (uint32_t(body.size()) << 3);
+                out.push_back(bh & 0xFF); out.push_back((bh >> 8) & 0xFF);
+                out.push_back((bh >> 16) & 0xFF);
+                out.insert(out.end(), body.begin(), body.end());
+            }
+        }
+    }
+    if (checksum) {
+        uint64_t x = tz_xxh64(src, n, 0);
+        for (int b = 0; b < 4; b++) out.push_back((x >> (8 * b)) & 0xFF);
+    }
+    if (out.size() > cap) return -1;
+    memcpy(dst, out.data(), out.size());
+    return (long long)out.size();
+}
