@@ -922,6 +922,202 @@ static inline uint32_t ofv_of(uint32_t off, uint32_t ll, Rep& rep) {
     return off + 3;
 }
 
+// ----------------------------------------------------- optimal parse ---
+// Forward shortest-path DP over bit prices (the role of the reference's
+// btopt/btultra2, C/zstd/zstd_opt.c, re-derived): per position the best
+// predecessor among {literal step, rep0/1/2 probes, hash-chain matches},
+// with per-cell repeat-offset state and literal-run tracking. Prices are
+// adaptive: each block reuses the previous block's code statistics
+// (ZSTD_rescaleFreqs analog at block granularity).
+struct Costs {
+    int32_t lit[256];   // bits << 5
+    int32_t llp[36], mlp[53], ofp[32];
+    void defaults(const uint8_t* blk, size_t blen) {
+        uint32_t h[256] = {0};
+        for (size_t i = 0; i < blen; i++) h[blk[i]]++;
+        for (int s = 0; s < 256; s++) {
+            double p = h[s] ? double(h[s]) / blen : 1.0 / (blen + 256);
+            lit[s] = int32_t(-std::log2(p) * 32);
+        }
+        for (int c = 0; c < 36; c++) llp[c] = (5 + kLLbits[c]) << 5;
+        for (int c = 0; c < 53; c++) mlp[c] = (5 + kMLbits[c]) << 5;
+        for (int c = 0; c < 32; c++) ofp[c] = (5 + c) << 5;
+    }
+    void from_stats(const std::vector<Seq>& seqs,
+                    const std::vector<uint8_t>& lits) {
+        if (!lits.empty()) {
+            uint32_t h[256] = {0};
+            for (uint8_t v : lits) h[v]++;
+            for (int s = 0; s < 256; s++) {
+                double p = h[s] ? double(h[s]) / lits.size()
+                                : 0.5 / (lits.size() + 1);
+                lit[s] = int32_t(std::min(14.0, -std::log2(p)) * 32);
+            }
+        }
+        if (seqs.empty()) return;
+        uint32_t hll[36] = {0}, hml[53] = {0}, hof[32] = {0};
+        for (const Seq& q : seqs) {
+            hll[ll_code(q.ll)]++;
+            hml[ml_code(q.ml)]++;
+            hof[highbit(q.ofv)]++;
+        }
+        double tot = double(seqs.size());
+        for (int c = 0; c < 36; c++)
+            llp[c] = int32_t((std::min(12.0, hll[c] ?
+                -std::log2(hll[c] / tot) : 9.0) + kLLbits[c]) * 32);
+        for (int c = 0; c < 53; c++)
+            mlp[c] = int32_t((std::min(12.0, hml[c] ?
+                -std::log2(hml[c] / tot) : 9.0) + kMLbits[c]) * 32);
+        for (int c = 0; c < 32; c++)
+            ofp[c] = int32_t((std::min(12.0, hof[c] ?
+                -std::log2(hof[c] / tot) : 9.0) + c) * 32);
+    }
+};
+
+struct Cell {
+    int64_t price;
+    int32_t mlen;    // 0 = literal step reached this cell
+    uint32_t off;    // actual offset when mlen > 0
+    int32_t seq_ll;  // literal run folded into the sequence (mlen > 0)
+    int32_t litrun;  // literals accumulated since last match end
+    Rep rep;         // repeat state after this cell
+};
+
+static void parse_block_optimal(const uint8_t* src, size_t n,
+                                size_t bs, size_t be, Matcher& M,
+                                size_t& next_ins, size_t ins_max,
+                                const Params& P, Rep& rep, Costs& costs,
+                                std::vector<Seq>& seqs,
+                                std::vector<uint8_t>& lits) {
+    size_t blen = be - bs;
+    // catch up indexing for positions skipped before this block
+    for (size_t p = next_ins; p < std::min(bs, ins_max); p++) M.insert(p);
+    next_ins = std::max(next_ins, bs);
+    static thread_local std::vector<Cell> cells;
+    cells.assign(blen + 1, Cell{INT64_MAX, 0, 0, 0, 0, Rep{}});
+    cells[0] = Cell{0, 0, 0, 0, 0, rep};
+    constexpr int kRelaxBudget = 1024;
+    for (size_t j = 0; j < blen; j++) {
+        const Cell& cur = cells[j];
+        size_t pos = bs + j;
+        // literal step
+        {
+            int64_t cand = cur.price + costs.lit[src[pos]];
+            Cell& nx = cells[j + 1];
+            if (cand < nx.price) {
+                nx.price = cand; nx.mlen = 0; nx.off = 0; nx.seq_ll = 0;
+                nx.litrun = cur.litrun + 1; nx.rep = cur.rep;
+            }
+        }
+        // gather candidates (ascending length)
+        struct Cand { uint32_t len, off; int repidx; };  // repidx 1..3, 0=off
+        Cand cands[24];
+        int nc = 0;
+        bool has_lit = cur.litrun > 0;
+        uint32_t probes[3] = {
+            has_lit ? cur.rep.r0 : cur.rep.r1,
+            has_lit ? cur.rep.r1 : cur.rep.r2,
+            has_lit ? cur.rep.r2 : cur.rep.r0 - 1,
+        };
+        uint32_t best_rep_len = 0;
+        for (int k = 0; k < 3; k++) {
+            uint32_t o = probes[k];
+            if (o == 0 || pos < o || pos + 3 > be) continue;
+            const uint8_t* a = src + pos;
+            const uint8_t* bb = a - o;
+            if (a[0] != bb[0] || a[1] != bb[1] || a[2] != bb[2]) continue;
+            uint32_t len =
+                uint32_t(3 + match_len(a + 3, bb + 3, src + be));
+            if (nc < 24) cands[nc++] = {len, o, k + 1};
+            best_rep_len = std::max(best_rep_len, len);
+        }
+        if (pos + 8 <= be) {
+            uint32_t v = load32(src + pos);
+            int32_t c = M.head[M.hash_at(pos)];
+            size_t min_pos = pos > P.window ? pos - P.window : 0;
+            uint32_t found = std::max<uint32_t>(best_rep_len, 3);
+            for (int d = 0; d < P.depth && c >= 0 && size_t(c) >= min_pos;
+                 d++, c = M.prev[c]) {
+                if (load32(src + c) != v) continue;
+                uint32_t len = uint32_t(
+                    4 + match_len(src + pos + 4, src + c + 4, src + be));
+                if (len > found && nc < 24) {
+                    cands[nc++] = {len, uint32_t(pos - c), 0};
+                    found = len;
+                }
+            }
+        }
+        if (pos >= next_ins && pos < ins_max) {
+            M.insert(pos);
+            next_ins = pos + 1;
+        }
+        if (!nc) continue;
+        std::sort(cands, cands + nc, [](const Cand& a, const Cand& b) {
+            return a.len < b.len;
+        });
+        int32_t ll_cost = costs.llp[ll_code(uint32_t(cur.litrun))];
+        int budget = kRelaxBudget;
+        uint32_t lo = 3;
+        for (int k = 0; k < nc; k++) {
+            const Cand& cd = cands[k];
+            // price the offset code for this candidate
+            uint32_t ofv = cd.repidx ? uint32_t(cd.repidx) : cd.off + 3;
+            int32_t of_cost = costs.ofp[highbit(ofv)];
+            uint32_t lmin = cd.repidx ? 3 : 4;
+            uint32_t start = std::max(lo, lmin);
+            // always relax the full length; fill downward within budget
+            for (uint32_t l = cd.len;
+                 l >= start && (budget > 0 || l == cd.len); l--) {
+                budget--;
+                int64_t cand_price = cur.price + ll_cost + of_cost +
+                                     costs.mlp[ml_code(l)];
+                Cell& nx = cells[j + l];
+                if (cand_price < nx.price) {
+                    nx.price = cand_price;
+                    nx.mlen = int32_t(l);
+                    nx.off = cd.off;
+                    nx.seq_ll = cur.litrun;
+                    nx.litrun = 0;
+                    Rep r = cur.rep;
+                    (void)ofv_of(cd.off, uint32_t(cur.litrun), r);
+                    nx.rep = r;
+                }
+            }
+            lo = std::max(lo, cd.len + 1);
+        }
+    }
+    // backtrack
+    std::vector<Seq> rev;
+    size_t j = blen;
+    while (j > 0) {
+        const Cell& c = cells[j];
+        if (c.mlen == 0) { j--; continue; }
+        Seq q;
+        q.ll = uint32_t(c.seq_ll);
+        q.ml = uint32_t(c.mlen);
+        q.ofv = c.off;  // actual offset; mapped to Offset_Value below
+        rev.push_back(q);
+        j -= size_t(c.mlen) + size_t(c.seq_ll);
+    }
+    // emit forward: literals + rep-code mapping against the true history
+    seqs.clear();
+    lits.clear();
+    size_t cursor = bs;
+    for (size_t k = rev.size(); k-- > 0;) {
+        Seq q = rev[k];
+        lits.insert(lits.end(), src + cursor, src + cursor + q.ll);
+        uint32_t off = q.ofv;
+        q.ofv = ofv_of(off, q.ll, rep);
+        seqs.push_back(q);
+        cursor += q.ll + q.ml;
+    }
+    lits.insert(lits.end(), src + cursor, src + be);
+    // index whatever the scan did not reach (tail guard)
+    for (size_t p = next_ins; p < std::min(be, ins_max); p++) M.insert(p);
+    next_ins = std::max(next_ins, be);
+    costs.from_stats(seqs, lits);
+}
+
 }  // namespace
 
 // ------------------------------------------------------------- driver ---
@@ -959,6 +1155,8 @@ extern "C" long long tz_zstd_encode(const uint8_t* src, size_t n,
         std::vector<uint8_t> lits, body;
         size_t next_ins = 0;  // chain-insertion cursor (each pos once)
         const size_t ins_max = n >= 4 ? n - 4 : 0;
+        Costs costs;
+        bool costs_ready = false;
         auto insert_to = [&](size_t k, size_t step) {
             size_t lim = std::min(k, ins_max);
             for (size_t j = next_ins; j < lim; j += step) M.insert(j);
@@ -987,6 +1185,16 @@ extern "C" long long tz_zstd_encode(const uint8_t* src, size_t n,
             }
             seqs.clear(); lits.clear(); body.clear();
             Rep rep_snap = rep;
+            if (level >= 13 && blen >= 64) {
+                if (!costs_ready) {
+                    costs.defaults(src + bs, blen);
+                    costs_ready = true;
+                }
+                parse_block_optimal(src, n, bs, be, M, next_ins, ins_max,
+                                    P, rep, costs, seqs, lits);
+                goto assemble;
+            }
+            {
             size_t lit_anchor = bs;
             size_t i = bs;
             const size_t limit8 = be >= 8 ? be - 8 : 0;
@@ -1055,7 +1263,9 @@ extern "C" long long tz_zstd_encode(const uint8_t* src, size_t n,
             // trailing literals
             if (lit_anchor < be)
                 lits.insert(lits.end(), src + lit_anchor, src + be);
+            }
             // assemble block body
+        assemble:
             encode_literals(lits.data(), lits.size(), body);
             encode_sequences(seqs, body);
             if (body.size() >= blen) {
