@@ -70,28 +70,27 @@ class Options:
         self.threads = None
         self.slt = False
         self.scrc = None
+        self.props = {}
 
 
 def _parse_switches(args):
+    from ..utils.methodprops import parse_method_spec, parse_mt
+
     opts = Options()
     rest = []
     for a in args:
         if a.startswith("-t"):
             opts.type = a[2:]
         elif a.startswith("-m0="):
-            spec = a[4:]
-            parts = spec.split(":")
-            opts.method = parts[0]
-            for p in parts[1:]:
-                if p.startswith("x"):
-                    opts.level = int(p[1:])
+            opts.method, opts.props = parse_method_spec(a[4:])
+            if "x" in opts.props:
+                opts.level = int(opts.props.pop("x"))
         elif a.startswith("-mx"):
             opts.level = int(a[3:].lstrip("="))
         elif a.startswith("-mhe"):
             opts.encrypt_header = a[4:] in ("", "=on", "on")
         elif a.startswith("-mmt"):
-            v = a[4:].lstrip("=")
-            opts.threads = None if v in ("", "on") else v
+            opts.threads = parse_mt(a[4:].lstrip("=") or "on")
         elif a.startswith("-p"):
             opts.password = a[2:]
         elif a.startswith("-o"):
@@ -157,7 +156,10 @@ def cmd_add(opts: Options, args):
                             f"{len(files)} inputs")
         data = next(iter(files.values()))
         codec = get_codec(opts.method or atype)
-        out = codec.compress(data, level=opts.level or 5)
+        kw = {}
+        if "wlog" in opts.props:
+            kw["window_log"] = int(opts.props["wlog"])
+        out = codec.compress(data, level=opts.level or 5, **kw)
     if opts.stdout:
         sys.stdout.buffer.write(out)
     else:

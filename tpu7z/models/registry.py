@@ -35,8 +35,8 @@ def _lz4_d(data, **kw):
 
 
 def _zstd_c(data, level=3, **kw):
-    from .zstd import compressor
-    return compressor.compress(data, level=min(level, 22))
+    from .zstd import frame
+    return frame.compress(data, level=min(level, 22), **kw)
 
 
 def _zstd_d(data, **kw):

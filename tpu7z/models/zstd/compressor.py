@@ -536,7 +536,8 @@ def _level_params(level: int, n: int) -> tuple[int, int, int, int]:
 
 
 def compress(data: bytes, level: int = 3, checksum: bool = True,
-             block_size: int = MAX_BLOCK_SIZE) -> bytes:
+             block_size: int = MAX_BLOCK_SIZE,
+             window_log: int | None = None) -> bytes:
     """One-shot zstd frame compression: one windowed parse over the whole
     input (matches reach back across block boundaries up to the window),
     then per-block entropy sections."""
@@ -545,6 +546,10 @@ def compress(data: bytes, level: int = 3, checksum: bool = True,
     s = np.frombuffer(data, dtype=np.uint8)
     n = s.size
     hashlog, depth, wlog, lazy = _level_params(level, n)
+    if window_log is not None:
+        if not 10 <= window_log <= 31:
+            raise ParamError(f"zstd window log {window_log} out of range")
+        wlog = window_log
     out = bytearray(write_frame_header(n, checksum=checksum))
     if n == 0:
         out += bytes([0x01, 0x00, 0x00])  # last, raw, size 0
