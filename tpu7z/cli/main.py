@@ -143,7 +143,7 @@ def cmd_add(opts: Options, args):
     elif atype == "zip":
         from ..containers import zip as zipc
         _zm = {"copy": 0, "deflate": 8, "bzip2": 12, "lzma": 14,
-               "zstd": 93, "xz": 95}
+               "zstd": 93, "xz": 95, "ppmd": 98}
         out = zipc.write_zip(files,
                              method=_zm.get(opts.method or "deflate", 8),
                              level=opts.level or 6)

@@ -1,5 +1,5 @@
 """ZIP container (read/write) with Deflate, Store, Zstandard (method 93),
-BZip2 (12), LZMA (14) and XZ (95).
+BZip2 (12), LZMA (14), XZ (95) and PPMd (98, PpmdZip.cpp framing).
 
 Behavioral reference: CPP/7zip/Archive/Zip/ (ZipHeader.h:59-61 method
 ids incl. Zstd=93; decode ZipHandler.cpp:1169, encode
@@ -18,6 +18,7 @@ M_DEFLATE = 8
 M_DEFLATE64 = 9
 M_BZIP2 = 12
 M_LZMA = 14
+M_PPMD = 98
 M_ZSTD = 93
 M_XZ = 95
 
@@ -46,6 +47,9 @@ def _compress_entry(data: bytes, method: int, level: int):
         stream, props5 = encoder.compress_raw(data, end_marker=False)
         # zip-lzma payload: verMajor, verMinor, propsSize u16le, props
         return bytes([21, 3]) + struct.pack("<H", 5) + props5 + stream
+    if method == M_PPMD:
+        from ..models.ppmd import ppmd8
+        return ppmd8.compress(data)
     raise UnsupportedError(f"zip: method {method} encode unsupported")
 
 
@@ -74,6 +78,9 @@ def _decompress_entry(comp: bytes, method: int, usize: int) -> bytes:
         props = comp[4:4 + psize]
         from ..models.lzma import decoder
         return decoder.decompress_raw(comp[4 + psize:], props, usize)
+    if method == M_PPMD:
+        from ..models.ppmd import ppmd8
+        return ppmd8.decompress(comp, usize)
     raise UnsupportedError(f"zip: method {method} decode unsupported")
 
 
