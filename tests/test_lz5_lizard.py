@@ -77,3 +77,20 @@ def test_lizard_we_decode_reference_all_families(tmp_path, samples, level):
                         str(arc), str(src)], capture_output=True)
     assert r.returncode == 0
     assert lizard.decompress(arc.read_bytes()) == samples["text"]
+
+
+def test_lizard_liz_self_roundtrip(samples):
+    for name, d in samples.items():
+        for level in (21, 25, 29, 20):
+            fr = lizard.compress_frame(d, level=level)
+            assert lizard.decompress(fr) == d, (name, level)
+
+
+@requires_ref
+def test_lizard_liz_reference_decodes_ours(tmp_path, samples):
+    for name in ("text", "rand", "runs", "zeros"):
+        p = tmp_path / f"{name}.liz"
+        p.write_bytes(lizard.compress_frame(samples[name], level=21))
+        r = subprocess.run([REF_7ZZ, "e", "-tlizard", "-so", str(p)],
+                           capture_output=True, check=True)
+        assert r.stdout == samples[name], name

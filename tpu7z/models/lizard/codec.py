@@ -228,12 +228,97 @@ def decompress_block(src: bytes, max_out: int) -> bytes:
 # Encoder: LZ4 code words, raw streams (valid subset)
 # ---------------------------------------------------------------------------
 
-def compress_block(data: bytes) -> bytes:
-    out = bytearray([11])  # level byte: LZ4 code words
+def compress_block(data: bytes, level: int = 11) -> bytes:
+    liz_words = (20 <= level <= 29) or (40 <= level <= 49)
+    out = bytearray([level])
     for start in range(0, max(len(data), 1), BLOCK_SIZE):
         chunk = data[start:start + BLOCK_SIZE]
-        out += _encode_chunk_lz4(chunk)
+        out += (_encode_chunk_liz(chunk) if liz_words
+                else _encode_chunk_lz4(chunk))
     return bytes(out)
+
+
+def _encode_chunk_liz(chunk: bytes) -> bytes:
+    """LIZv1 code words (lizard_compress_liz.h behavior re-derived from
+    the decoder token forms): short tokens carry a 16-bit offset or
+    repeat the previous one (bit 7); tokens < 31 are long-offset
+    (24-bit) matches of length >= 16 with no literal run."""
+    s = np.frombuffer(chunk, dtype=np.uint8)
+    n = s.size
+    mpos, mlen, moff = _find_liz(s)
+    flags = bytearray()
+    lit = bytearray()
+    off16 = bytearray()
+    off24 = bytearray()
+    pos = 0
+    last_off = 0
+
+    def emit_lits(litlen, p):
+        # literal-only run: repeat-offset token with mlen = 0
+        flags.append(0x80 | min(litlen, MAX_SHORT_LITLEN))
+        if litlen >= MAX_SHORT_LITLEN:
+            _ext_len(lit, litlen - MAX_SHORT_LITLEN)
+        lit += chunk[p - litlen:p]
+
+    for i in range(mpos.size):
+        p, l, o = int(mpos[i]), int(mlen[i]), int(moff[i])
+        litlen = p - pos
+        if o == last_off or o <= 0xFFFF:
+            token = min(litlen, MAX_SHORT_LITLEN) \
+                | (min(l, MAX_SHORT_MATCHLEN) << 3)
+            if o == last_off:
+                token |= 0x80
+            flags.append(token)
+            if litlen >= MAX_SHORT_LITLEN:
+                _ext_len(lit, litlen - MAX_SHORT_LITLEN)
+            lit += chunk[pos:p]
+            if o != last_off:
+                off16 += o.to_bytes(2, "little")
+            if l >= MAX_SHORT_MATCHLEN:
+                _ext_len(lit, l - MAX_SHORT_MATCHLEN)
+        else:
+            # long-offset token carries no literal run
+            if litlen:
+                emit_lits(litlen, p)
+            if l < LAST_LONG_OFF + MM_LONGOFF:
+                flags.append(l - MM_LONGOFF)
+            else:
+                flags.append(LAST_LONG_OFF)
+                _ext_len(lit, l - (LAST_LONG_OFF + MM_LONGOFF))
+            off24 += o.to_bytes(3, "little")
+        last_off = o
+        pos = p + l
+    lit += chunk[pos:]
+    body = bytearray([0])  # all streams raw
+    body += (0).to_bytes(3, "little")       # lengths stream (unused)
+    body += len(off16).to_bytes(3, "little")
+    body += off16
+    body += len(off24).to_bytes(3, "little")
+    body += off24
+    body += len(flags).to_bytes(3, "little")
+    body += flags
+    body += len(lit).to_bytes(3, "little")
+    body += lit
+    return bytes(body)
+
+
+def _find_liz(s: np.ndarray):
+    """Matches for LIZv1: offsets >= 8 with window up to the chunk size;
+    16-bit-offset matches need length >= 4, longer offsets length >= 16
+    (MM_LONGOFF)."""
+    n = s.size
+    if n < 48:
+        return (np.empty(0, np.int64),) * 3
+    from ..zstd import compressor as zc
+    mpos, mlen, moff = zc.find_sequences_windowed(
+        s, hashlog=16, window_log=max(10, (n - 1).bit_length()),
+        depth=2, lazy=1)
+    # reference decoder fast-path end margins (lizard_decompress_liz.h):
+    # keep the tail as plain literals, truncate matches at the cap
+    mlen = np.minimum(mlen, (n - 24) - mpos)
+    keep = (moff >= 8) & (mpos <= (n - 32)) \
+        & (mlen >= np.where(moff <= 0xFFFF, 4, MM_LONGOFF))
+    return mpos[keep], mlen[keep], moff[keep]
 
 
 def _encode_chunk_lz4(chunk: bytes) -> bytes:
@@ -321,7 +406,8 @@ def _find(s: np.ndarray):
 _BD_SIZES = {1: 128 * 1024, 4: 1 << 16, 5: 1 << 18, 6: 1 << 20, 7: 1 << 22}
 
 
-def compress_frame(data: bytes, block_size: int = 1 << 17) -> bytes:
+def compress_frame(data: bytes, block_size: int = 1 << 17,
+                   level: int = 11) -> bytes:
     out = bytearray()
     out += MAGIC.to_bytes(4, "little")
     flg = (1 << 6) | (1 << 5) | (1 << 3) | (1 << 2)
@@ -333,7 +419,7 @@ def compress_frame(data: bytes, block_size: int = 1 << 17) -> bytes:
     out.append((_xxh32(bytes(hdr)) >> 8) & 0xFF)
     for start in range(0, len(data), bsize):
         chunk = data[start:start + bsize]
-        comp = compress_block(chunk)
+        comp = compress_block(chunk, level=level)
         if len(comp) >= len(chunk):
             out += (len(chunk) | 0x80000000).to_bytes(4, "little")
             out += chunk

@@ -143,7 +143,10 @@ def _lz5_d(data, **kw):
 
 def _lizard_c(data, level=11, **kw):
     from . import lizard
-    return lizard.compress_frame(data)
+    if not 10 <= level <= 49:
+        # 7z-style levels 1..9 map into the LIZv1 family
+        level = 20 + max(1, min(level, 9))
+    return lizard.compress_frame(data, level=level)
 
 
 def _lizard_d(data, **kw):
