@@ -25,6 +25,7 @@ _EXT_TYPES = {
     ".7z": "7z", ".zst": "zstd", ".lz4": "lz4", ".xz": "xz",
     ".bz2": "bzip2", ".gz": "gzip", ".tar": "tar", ".br": "brotli",
     ".lz5": "lz5", ".liz": "lizard", ".lizard": "lizard", ".zip": "zip",
+    ".squashfs": "squashfs", ".sqfs": "squashfs",
 }
 
 
@@ -53,6 +54,8 @@ def _sniff_type(path: str, data: bytes | None = None) -> str:
             return "zip"
         if len(data) > 262 and data[257:262] == b"ustar":
             return "tar"
+        if data[:4] == b"hsqs":
+            return "squashfs"
     return "7z"
 
 
@@ -182,6 +185,9 @@ def _open_archive(opts, path):
     if atype == "tar":
         from ..containers import tar as tarc
         return atype, tarc.read_tar(data), None
+    if atype == "squashfs":
+        from ..containers import squashfs
+        return atype, squashfs.read_squashfs(data), None
     codec = get_codec(atype)
     name = os.path.basename(path or "stdin")
     for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz"):
@@ -274,7 +280,8 @@ def cmd_info(opts: Options, args):
     print("\nHashers:")
     for name in sorted(HASHERS):
         print(f"  {name}")
-    print("\nFormats: 7z zstd lz4 lz5 lizard brotli xz bzip2 gzip tar zip")
+    print("\nFormats: 7z zstd lz4 lz5 lizard brotli xz bzip2 gzip tar zip"
+          " squashfs")
     return 0
 
 
