@@ -8,6 +8,8 @@ import sys
 import pytest
 
 from tpu7z.cli.main import main as cli_main
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 from tpu7z.ops.hashers import HASHERS
 
 GOLDEN_FILE = "/root/reference/tests/regr-arc/test.txt.zstd"
@@ -98,3 +100,26 @@ def test_cli_info_and_errors(capsys):
     assert "zstd" in out and "Hashers" in out
     assert cli_main(["x", "/nonexistent/zzz.7z"]) != 0 or True
     assert cli_main(["badcmd"]) == 1
+
+
+def test_cli_include_exclude(tmp_path):
+    """-i!/-x! wildcard selection (ArchiveCommandLine kInclude/kExclude)."""
+    import subprocess
+    import sys
+    for name in ("a.txt", "b.log", "c.txt"):
+        (tmp_path / name).write_text(name)
+    arc = tmp_path / "t.7z"
+    env = {**os.environ, "PYTHONPATH": str(ROOT)}
+    subprocess.run(
+        [sys.executable, "-m", "tpu7z.cli", "a", str(arc), "-x!*.log",
+         str(tmp_path / "a.txt"), str(tmp_path / "b.log"),
+         str(tmp_path / "c.txt")],
+        check=True, capture_output=True, env=env)
+    r = subprocess.run([sys.executable, "-m", "tpu7z.cli", "l", str(arc)],
+                       capture_output=True, text=True, check=True, env=env)
+    assert "a.txt" in r.stdout and "b.log" not in r.stdout
+    out = tmp_path / "xd"
+    subprocess.run([sys.executable, "-m", "tpu7z.cli", "x", str(arc),
+                    "-i!a*", f"-o{out}"],
+                   check=True, capture_output=True, env=env)
+    assert (out / "a.txt").exists() and not (out / "c.txt").exists()

@@ -7,7 +7,7 @@ the switch table of UI/Common/ArchiveCommandLine.cpp:278-360. Verbs:
   h  hash           b  benchmark    i  info
 
 Switches: -t{type} -m0={method} -mx{level} -p{password} -mhe[=on] -o{dir}
-          -si -so -mmt{n} -y
+          -si -so -mmt{n} -y -i!{wildcard} -x!{wildcard} -r -slt -scrc
 Usage:  python -m tpu7z.cli a archive.7z file1 file2 ...
 """
 
@@ -74,6 +74,9 @@ class Options:
         self.slt = False
         self.scrc = None
         self.props = {}
+        self.include = []   # -i! wildcards
+        self.exclude = []   # -x! wildcards
+        self.recurse = False
 
 
 def _parse_switches(args):
@@ -104,6 +107,12 @@ def _parse_switches(args):
             opts.stdout = True
         elif a == "-y":
             opts.yes = True
+        elif a.startswith("-i!"):
+            opts.include.append(a[3:])
+        elif a.startswith("-x!"):
+            opts.exclude.append(a[3:])
+        elif a == "-r" or a == "-r0":
+            opts.recurse = True
         elif a == "-slt":
             opts.slt = True
         elif a.startswith("-scrc"):
@@ -113,6 +122,20 @@ def _parse_switches(args):
         else:
             rest.append(a)
     return opts, rest
+
+
+def _name_selected(opts: Options, name: str) -> bool:
+    """-i!/-x! wildcard selection (UI/Common/ArchiveCommandLine.cpp
+    kInclude/kExclude semantics: includes narrow, excludes always win)."""
+    import fnmatch
+    base = name.replace("\\", "/").split("/")[-1]
+    for pat in opts.exclude:
+        if fnmatch.fnmatch(name, pat) or fnmatch.fnmatch(base, pat):
+            return False
+    if opts.include:
+        return any(fnmatch.fnmatch(name, pat) or fnmatch.fnmatch(base, pat)
+                   for pat in opts.include)
+    return True
 
 
 def cmd_add(opts: Options, args):
@@ -134,6 +157,7 @@ def cmd_add(opts: Options, args):
                         files[os.path.relpath(p)] = open(p, "rb").read()
             else:
                 files[os.path.basename(path)] = open(path, "rb").read()
+    files = {k: v for k, v in files.items() if _name_selected(opts, k)}
     if not files:
         raise TpuzError("a: no input files")
 
@@ -201,6 +225,7 @@ def cmd_extract(opts: Options, args, test_only=False):
         raise TpuzError("x: missing archive")
     path = args[0] if args else None
     atype, files, _rd = _open_archive(opts, path)
+    files = {k: v for k, v in files.items() if _name_selected(opts, k)}
     if test_only:
         print(f"type={atype} files={len(files)}")
         if opts.scrc:
@@ -290,7 +315,8 @@ def cmd_bench(opts: Options, args):
     size = 4 << 20
     data = make_corpus(size)
     print(f"{'method':8s} {'enc MB/s':>9} {'dec MB/s':>9} {'ratio':>6}")
-    for name in ("lz4", "zstd", "bzip2", "deflate", "lzma2"):
+    for name in ("lz4", "zstd", "bzip2", "deflate", "lzma2", "brotli",
+                 "lz5", "lizard"):
         codec = get_codec(name)
         t0 = time.time()
         c = codec.compress(data, level=3)
