@@ -996,7 +996,7 @@ static void parse_block_optimal(const uint8_t* src, size_t n,
     static thread_local std::vector<Cell> cells;
     cells.assign(blen + 1, Cell{INT64_MAX, 0, 0, 0, 0, Rep{}});
     cells[0] = Cell{0, 0, 0, 0, 0, rep};
-    constexpr int kRelaxBudget = 1024;
+    constexpr int kRelaxBudget = 192;
     for (size_t j = 0; j < blen; j++) {
         const Cell& cur = cells[j];
         size_t pos = bs + j;
@@ -1039,6 +1039,11 @@ static void parse_block_optimal(const uint8_t* src, size_t n,
             for (int d = 0; d < P.depth && c >= 0 && size_t(c) >= min_pos;
                  d++, c = M.prev[c]) {
                 if (load32(src + c) != v) continue;
+                // best-so-far guard: a candidate that can't exceed
+                // `found` is skipped before the O(len) scan (only
+                // strictly longer candidates are kept below anyway)
+                if (pos + found < be && src[c + found] != src[pos + found])
+                    continue;
                 uint32_t len = uint32_t(
                     4 + match_len(src + pos + 4, src + c + 4, src + be));
                 if (len > found && nc < 24) {
