@@ -25,7 +25,8 @@ _EXT_TYPES = {
     ".7z": "7z", ".zst": "zstd", ".lz4": "lz4", ".xz": "xz",
     ".bz2": "bzip2", ".gz": "gzip", ".tar": "tar", ".br": "brotli",
     ".lz5": "lz5", ".liz": "lizard", ".lizard": "lizard", ".zip": "zip",
-    ".squashfs": "squashfs", ".sqfs": "squashfs",
+    ".squashfs": "squashfs", ".sqfs": "squashfs", ".cpio": "cpio",
+    ".a": "ar", ".ar": "ar", ".deb": "ar", ".lib": "ar", ".rpm": "rpm",
 }
 
 
@@ -56,6 +57,13 @@ def _sniff_type(path: str, data: bytes | None = None) -> str:
             return "tar"
         if data[:4] == b"hsqs":
             return "squashfs"
+        if data[:6] in (b"070701", b"070702", b"070707") or \
+                data[:2] in (b"\xc7\x71", b"\x71\xc7"):
+            return "cpio"
+        if data[:8] == b"!<arch>\n":
+            return "ar"
+        if data[:4] == b"\xed\xab\xee\xdb":
+            return "rpm"
     return "7z"
 
 
@@ -212,6 +220,15 @@ def _open_archive(opts, path):
     if atype == "squashfs":
         from ..containers import squashfs
         return atype, squashfs.read_squashfs(data), None
+    if atype == "cpio":
+        from ..containers import cpio
+        return atype, cpio.read_cpio(data), None
+    if atype == "ar":
+        from ..containers import ar
+        return atype, ar.read_ar(data), None
+    if atype == "rpm":
+        from ..containers import rpm
+        return atype, rpm.read_rpm(data), None
     codec = get_codec(atype)
     name = os.path.basename(path or "stdin")
     for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz"):
@@ -306,7 +323,7 @@ def cmd_info(opts: Options, args):
     for name in sorted(HASHERS):
         print(f"  {name}")
     print("\nFormats: 7z zstd lz4 lz5 lizard brotli xz bzip2 gzip tar zip"
-          " squashfs")
+          " squashfs cpio ar rpm")
     return 0
 
 
