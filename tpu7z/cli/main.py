@@ -27,6 +27,7 @@ _EXT_TYPES = {
     ".lz5": "lz5", ".liz": "lizard", ".lizard": "lizard", ".zip": "zip",
     ".squashfs": "squashfs", ".sqfs": "squashfs", ".cpio": "cpio",
     ".a": "ar", ".ar": "ar", ".deb": "ar", ".lib": "ar", ".rpm": "rpm",
+    ".iso": "iso",
 }
 
 
@@ -64,6 +65,9 @@ def _sniff_type(path: str, data: bytes | None = None) -> str:
             return "ar"
         if data[:4] == b"\xed\xab\xee\xdb":
             return "rpm"
+        if len(data) > 16 * 2048 + 6 and \
+                data[16 * 2048 + 1:16 * 2048 + 6] == b"CD001":
+            return "iso"
     return "7z"
 
 
@@ -229,6 +233,9 @@ def _open_archive(opts, path):
     if atype == "rpm":
         from ..containers import rpm
         return atype, rpm.read_rpm(data), None
+    if atype == "iso":
+        from ..containers import iso
+        return atype, iso.read_iso(data), None
     codec = get_codec(atype)
     name = os.path.basename(path or "stdin")
     for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz"):
@@ -323,7 +330,7 @@ def cmd_info(opts: Options, args):
     for name in sorted(HASHERS):
         print(f"  {name}")
     print("\nFormats: 7z zstd lz4 lz5 lizard brotli xz bzip2 gzip tar zip"
-          " squashfs cpio ar rpm")
+          " squashfs cpio ar rpm iso")
     return 0
 
 
