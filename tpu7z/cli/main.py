@@ -27,7 +27,7 @@ _EXT_TYPES = {
     ".lz5": "lz5", ".liz": "lizard", ".lizard": "lizard", ".zip": "zip",
     ".squashfs": "squashfs", ".sqfs": "squashfs", ".cpio": "cpio",
     ".a": "ar", ".ar": "ar", ".deb": "ar", ".lib": "ar", ".rpm": "rpm",
-    ".iso": "iso",
+    ".iso": "iso", ".Z": "z", ".taz": "z",
 }
 
 
@@ -48,6 +48,8 @@ def _sniff_type(path: str, data: bytes | None = None) -> str:
             return "bzip2"
         if data[:2] == b"\x1f\x8b":
             return "gzip"
+        if data[:2] == b"\x1f\x9d":
+            return "z"
         if data[:4] == b"\x05\x22\x4d\x18":
             return "lz5"
         if data[:4] == b"\x06\x22\x4d\x18":
@@ -238,7 +240,7 @@ def _open_archive(opts, path):
         return atype, iso.read_iso(data), None
     codec = get_codec(atype)
     name = os.path.basename(path or "stdin")
-    for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz"):
+    for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz", ".Z"):
         if name.endswith(ext):
             name = name[: -len(ext)]
     return atype, {name: codec.decompress(data)}, None

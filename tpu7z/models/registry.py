@@ -154,7 +154,18 @@ def _lizard_d(data, **kw):
     return lizard.decompress(data)
 
 
+def _z_c(data, level=16, **kw):
+    from . import z_lzw
+    return z_lzw.compress(data, maxbits=max(9, min(level, 16)))
+
+
+def _z_d(data, **kw):
+    from . import z_lzw
+    return z_lzw.decompress(data)
+
+
 _register("brotli", 0x4F71102, _brotli_c, _brotli_d, (0, 11))
+_register("z", 0x30500, _z_c, _z_d, (9, 16))
 _register("lz5", 0x4F71105, _lz5_c, _lz5_d, (1, 15))
 _register("lizard", 0x4F71106, _lizard_c, _lizard_d, (10, 49))
 
