@@ -27,7 +27,8 @@ _EXT_TYPES = {
     ".lz5": "lz5", ".liz": "lizard", ".lizard": "lizard", ".zip": "zip",
     ".squashfs": "squashfs", ".sqfs": "squashfs", ".cpio": "cpio",
     ".a": "ar", ".ar": "ar", ".deb": "ar", ".lib": "ar", ".rpm": "rpm",
-    ".iso": "iso", ".Z": "z", ".taz": "z",
+    ".iso": "iso", ".Z": "z", ".taz": "z", ".xar": "xar",
+    ".pkg": "xar",
 }
 
 
@@ -50,6 +51,8 @@ def _sniff_type(path: str, data: bytes | None = None) -> str:
             return "gzip"
         if data[:2] == b"\x1f\x9d":
             return "z"
+        if data[:4] == b"xar!":
+            return "xar"
         if data[:4] == b"\x05\x22\x4d\x18":
             return "lz5"
         if data[:4] == b"\x06\x22\x4d\x18":
@@ -238,6 +241,9 @@ def _open_archive(opts, path):
     if atype == "iso":
         from ..containers import iso
         return atype, iso.read_iso(data), None
+    if atype == "xar":
+        from ..containers import xar
+        return atype, xar.read_xar(data), None
     codec = get_codec(atype)
     name = os.path.basename(path or "stdin")
     for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz", ".Z"):
@@ -332,7 +338,7 @@ def cmd_info(opts: Options, args):
     for name in sorted(HASHERS):
         print(f"  {name}")
     print("\nFormats: 7z zstd lz4 lz5 lizard brotli xz bzip2 gzip tar zip"
-          " squashfs cpio ar rpm iso")
+          " squashfs cpio ar rpm iso xar Z")
     return 0
 
 
