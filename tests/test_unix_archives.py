@@ -99,3 +99,31 @@ def test_we_read_binutils_ar(tmp_path):
     got = ar.read_ar(arc.read_bytes())
     assert got["m1.txt"] == b"one\n"
     assert got["m2_with_a_much_longer_name_indeed.txt"] == b"two\n"
+
+
+def test_lzh_roundtrip():
+    from tpu7z.containers import lzh
+    files = {"hello.txt": b"stored " * 40, "b.bin": bytes(range(200))}
+    assert lzh.read_lzh(lzh.write_lzh(files)) == files
+
+
+def test_lzh_corrupt():
+    from tpu7z.containers import lzh
+    files = {"a": b"xyz" * 10}
+    blob = bytearray(lzh.write_lzh(files))
+    blob[1] ^= 0xFF  # header checksum
+    with pytest.raises(CorruptError):
+        lzh.read_lzh(bytes(blob))
+
+
+@requires_ref
+def test_reference_extracts_our_lzh(tmp_path):
+    from tpu7z.containers import lzh
+    files = {"hello.txt": b"stored " * 40, "b.bin": bytes(range(200))}
+    p = tmp_path / "t.lzh"
+    p.write_bytes(lzh.write_lzh(files))
+    out = tmp_path / "x"
+    subprocess.run([REF_7ZZ, "x", f"-o{out}", str(p)],
+                   check=True, capture_output=True)
+    for name, content in files.items():
+        assert (out / name).read_bytes() == content, name

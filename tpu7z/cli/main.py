@@ -28,7 +28,7 @@ _EXT_TYPES = {
     ".squashfs": "squashfs", ".sqfs": "squashfs", ".cpio": "cpio",
     ".a": "ar", ".ar": "ar", ".deb": "ar", ".lib": "ar", ".rpm": "rpm",
     ".iso": "iso", ".Z": "z", ".taz": "z", ".xar": "xar",
-    ".pkg": "xar",
+    ".pkg": "xar", ".lzh": "lzh", ".lha": "lzh",
 }
 
 
@@ -53,6 +53,8 @@ def _sniff_type(path: str, data: bytes | None = None) -> str:
             return "z"
         if data[:4] == b"xar!":
             return "xar"
+        if len(data) > 7 and data[2:5] == b"-lh" and data[6:7] == b"-":
+            return "lzh"
         if data[:4] == b"\x05\x22\x4d\x18":
             return "lz5"
         if data[:4] == b"\x06\x22\x4d\x18":
@@ -244,6 +246,9 @@ def _open_archive(opts, path):
     if atype == "xar":
         from ..containers import xar
         return atype, xar.read_xar(data), None
+    if atype == "lzh":
+        from ..containers import lzh
+        return atype, lzh.read_lzh(data), None
     codec = get_codec(atype)
     name = os.path.basename(path or "stdin")
     for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz", ".Z"):
@@ -338,7 +343,7 @@ def cmd_info(opts: Options, args):
     for name in sorted(HASHERS):
         print(f"  {name}")
     print("\nFormats: 7z zstd lz4 lz5 lizard brotli xz bzip2 gzip tar zip"
-          " squashfs cpio ar rpm iso xar Z")
+          " squashfs cpio ar rpm iso xar lzh Z")
     return 0
 
 
