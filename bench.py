@@ -1,39 +1,53 @@
 #!/usr/bin/env python3
 """Benchmark driver: prints ONE JSON line for the graft driver.
 
-Measures the on-device LZ4 encode pipeline (batched match finding +
-greedy parse + token emission — compressed bytes are produced in HBM) on
-the deterministic mixed corpus, then verifies bit-exact round-trip of
-every block.
+Headline metric: the ON-DEVICE LZ4 encode pipeline (fused Pallas
+find+parse+emit when available, else the batched jnp pipeline) on the
+deterministic mixed corpus, verified bit-exact by round-tripping every
+block. The headline `value` is ALWAYS the device tier — never the host
+C++ tier (that is reported separately in detail.host_native_MBps).
+
+vs_baseline: the reference 7zz binary is re-measured IN THE SAME RUN
+(`7zz a -mmt=1 -m0=lz4:x1` over the same bytes on this machine,
+best-of-3) when a built binary can be found; otherwise the recorded
+2026-08-17 local measurement is used and detail.baseline_source says so.
 
 Timing is honest-by-construction: every timed iteration ends with a
 device->host fetch of the per-block used-bytes vector, which forces the
 computation to complete (jax block_until_ready alone does NOT
 synchronize on the axon remote-TPU platform; see docs/PERFORMANCE.md).
-vs_baseline compares against the reference 7zz single-core lz4:x1
-encode rate measured on this machine over the same corpus (BASELINE.md).
 
 The axon dev tunnel / TPU worker can hang or crash; each attempt runs in
 an isolated subprocess with a hard timeout, falling back from the TPU to
 the host-CPU JAX build of the identical pipeline, so the driver always
-gets a result line (detail.platform records which ran).
+gets a result line (detail.device_platform records which ran).
 """
 
 import json
 import os
+import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
 
-REF_LZ4_ENC_MBS = 124.2  # 7zz -mmt=1 -m0=lz4:x1, same corpus, this host
+# Recorded fallback (BASELINE.md, 2026-08-17, this machine class) — used
+# ONLY when no reference binary can be found to re-measure in-run.
+RECORDED_REF_LZ4_ENC_MBS = 250.6
+
+REF_BINARY_CANDIDATES = (
+    os.environ.get("TPU7Z_REF_7ZZ", ""),
+    "/tmp/refsrc/CPP/7zip/Bundles/Alone2/_o/7zz",
+    "/root/reference/CPP/7zip/Bundles/Alone2/_o/7zz",
+)
 
 CORPUS_PATH = "/tmp/tpu7z_bench_corpus.bin"
 CORPUS_SIZE = 32 << 20
 BENCH_MB = 4
-TPU_TIMEOUT = 420
-CPU_TIMEOUT = 420
+TPU_TIMEOUT = 480
+CPU_TIMEOUT = 480
 
 
 def get_corpus() -> bytes:
@@ -45,6 +59,39 @@ def get_corpus() -> bytes:
     with open(CORPUS_PATH, "wb") as f:
         f.write(data)
     return data
+
+
+def measure_reference(data: bytes):
+    """Time `7zz a -mmt=1 -m0=lz4:x1` on `data`, best of 3.
+
+    Returns (enc_MBps, comp_size, binary_path) or None if no binary.
+    Protocol per /root/reference/README.md:278-293 (single thread).
+    """
+    binary = next((p for p in REF_BINARY_CANDIDATES
+                   if p and os.path.isfile(p) and os.access(p, os.X_OK)),
+                  None) or shutil.which("7zz")
+    if binary is None:
+        return None
+    with tempfile.TemporaryDirectory(prefix="tpu7z_refbench_") as td:
+        src = os.path.join(td, "corpus.bin")
+        with open(src, "wb") as f:
+            f.write(data)
+        best, csize = None, None
+        for _ in range(3):
+            arc = os.path.join(td, "out.7z")
+            if os.path.exists(arc):
+                os.unlink(arc)
+            t0 = time.time()
+            r = subprocess.run(
+                [binary, "a", "-mmt=1", "-m0=lz4:x1", "-bd", arc, src],
+                capture_output=True, timeout=600)
+            dt = time.time() - t0
+            if r.returncode != 0 or not os.path.exists(arc):
+                return None
+            csize = os.path.getsize(arc)
+            mbs = len(data) / dt / 1e6
+            best = mbs if best is None else max(best, mbs)
+        return best, csize, binary
 
 
 def child(platform: str) -> int:
@@ -102,7 +149,7 @@ def child(platform: str) -> int:
 
 def bench_host_native(data: bytes):
     """Host-native C++ LZ4 encoder (tpu7z/native) — the CPU tier of the
-    framework, comparable engine class to the reference's C encoder."""
+    framework, reported in detail only (never the headline)."""
     import ctypes
     from tpu7z import native
     from tpu7z.models.lz4 import block as blockmod
@@ -125,7 +172,21 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         return child(sys.argv[2])
 
-    get_corpus()  # ensure cached before timed children run
+    data_len = BENCH_MB << 20
+    corpus = get_corpus()  # ensure cached before timed children run
+
+    ref = None
+    try:
+        ref = measure_reference(corpus[:data_len])
+    except Exception as e:  # noqa
+        sys.stderr.write(f"reference measurement failed: {e}\n")
+    if ref is not None:
+        ref_mbs, ref_csize, ref_bin = ref
+        baseline_source = f"measured in-run: {ref_bin}"
+    else:
+        ref_mbs, ref_csize, ref_bin = RECORDED_REF_LZ4_ENC_MBS, None, None
+        baseline_source = "recorded 2026-08-17 (no 7zz binary found in-run)"
+
     result = None
     platform = None
     for plat, timeout in (("tpu", TPU_TIMEOUT), ("cpu", CPU_TIMEOUT)):
@@ -144,28 +205,34 @@ def main() -> int:
             sys.stderr.write(f"{plat} child timed out after {timeout}s\n")
         except Exception as e:  # noqa
             sys.stderr.write(f"{plat} child error: {e}\n")
+
+    host = None
+    try:
+        host = bench_host_native(corpus[:data_len])
+    except Exception as e:  # noqa
+        sys.stderr.write(f"host-native tier failed: {e}\n")
+
     if result is None:
-        print(json.dumps({"metric": "lz4_encode_MBps_per_chip", "value": 0,
-                          "unit": "MB/s", "vs_baseline": 0,
-                          "error": "all bench platforms failed"}))
+        print(json.dumps({
+            "metric": "lz4_encode_MBps_per_chip", "value": 0,
+            "unit": "MB/s", "vs_baseline": 0,
+            "error": "all device bench platforms failed",
+            "detail": {
+                "ref_MBps_same_run": round(ref_mbs, 1),
+                "baseline_source": baseline_source,
+                "host_native_MBps": round(host[0], 1) if host else None,
+            }}))
         return 0
+
     enc_mbs = result["enc_mbs"]
-    data_len = BENCH_MB << 20
-    host = bench_host_native(get_corpus()[:data_len])
-    # headline = the framework's fastest verified engine for this codec
-    # (the reference likewise benches its production engine, not each
-    # internal tier); both tiers are reported in detail.
-    best = max(enc_mbs, host[0] if host else 0.0)
-    tier = "host-native-c++" if host and host[0] >= enc_mbs else (
-        "tpu-axon" if platform == "tpu" else "cpu-fallback")
     print(json.dumps({
-        "metric": "lz4_encode_MBps",
-        "value": round(best, 1),
+        "metric": "lz4_encode_MBps_per_chip",
+        "value": round(enc_mbs, 1),
         "unit": "MB/s",
-        "vs_baseline": round(best / REF_LZ4_ENC_MBS, 3),
+        "vs_baseline": round(enc_mbs / ref_mbs, 3),
         "detail": {
             "corpus_MB": data_len / 1e6,
-            "headline_tier": tier,
+            "headline_tier": "tpu" if platform == "tpu" else "cpu-fallback",
             "verified": "all blocks bit-exact round-trip",
             "device_MBps": round(enc_mbs, 1),
             "device_ratio": round(data_len / result["comp_total"], 3),
@@ -173,6 +240,9 @@ def main() -> int:
             else "cpu-fallback",
             "device": result["device"],
             "timing": "forced device->host fetch per iteration",
+            "ref_MBps_same_run": round(ref_mbs, 1),
+            "ref_csize": ref_csize,
+            "baseline_source": baseline_source,
             "host_native_MBps": round(host[0], 1) if host else None,
             "host_native_ratio": round(host[1], 3) if host else None,
         },

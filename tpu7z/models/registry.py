@@ -117,8 +117,13 @@ _register("zstd", 0x4F71101, _zstd_c, _zstd_d, (1, 22))
 _register("lzma2", 0x21, _lzma2_c, _lzma2_d, (1, 9))
 _register("bzip2", 0x040202, _bzip2_c, _bzip2_d, (1, 9))
 _register("deflate", 0x040108, _deflate_c, _deflate_d, (1, 9))
-_register("xz", 0x21, _xz_c, _xz_d, (1, 9))
-_register("gzip", 0x040108, _gzip_c, _gzip_d, (1, 9))
+# xz/gzip are container formats, not 7z coders: they have no 7z method
+# ID of their own (the reference routes them through XzHandler/GzHandler,
+# CPP/7zip/Archive/XzHandler.cpp — not through the codec registry).
+# method_id 0 here means "container-level pseudo-codec, not addressable
+# from a 7z folder"; SevenZipReader never dispatches on these names.
+_register("xz", 0, _xz_c, _xz_d, (1, 9))
+_register("gzip", 0, _gzip_c, _gzip_d, (1, 9))
 
 
 def _brotli_c(data, level=5, **kw):
