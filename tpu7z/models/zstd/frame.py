@@ -232,8 +232,19 @@ def _ensure(out: np.ndarray, op: int, extra: int, cap):
     return out, op
 
 
-def decompress(src: bytes, verify_checksum: bool = True) -> bytes:
-    """Decode a concatenation of zstd frames (incl. skippable)."""
+def decompress(src: bytes, verify_checksum: bool = True,
+               use_native: bool = True) -> bytes:
+    """Decode a concatenation of zstd frames (incl. skippable).
+
+    Host tier: the native C++ decoder (tpu7z/native/src/zstd_dec.cpp,
+    the CPU analog of C/zstd/zstd_decompress_block.c). On any native
+    failure (unsupported feature, corrupt data) we fall through to the
+    Python/numpy decoder, which raises precise errors."""
+    if use_native:
+        from ... import native as _native
+        out = _native.zstd_decode(bytes(src), verify_checksum)
+        if out is not None:
+            return out
     pos = 0
     parts = []
     while pos < len(src):

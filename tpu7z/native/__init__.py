@@ -68,6 +68,19 @@ def _load():
             ctypes.c_size_t, ctypes.c_int, ctypes.c_int]
     except AttributeError:
         pass  # stale .so without the zstd encoder; callers fall back
+    try:
+        lib.tz_zstd_decode.restype = ctypes.c_longlong
+        lib.tz_zstd_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.c_int]
+        lib.tz_zstd_decode_alloc.restype = ctypes.c_longlong
+        lib.tz_zstd_decode_alloc.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_int]
+        lib.tz_buf_free.restype = None
+        lib.tz_buf_free.argtypes = [ctypes.c_void_p]
+    except AttributeError:
+        pass  # stale .so without the zstd decoder; callers fall back
     LIB = lib
     return lib
 
@@ -84,6 +97,25 @@ def zstd_encode(data: bytes, level: int = 3, checksum: bool = True):
     if r <= 0:
         return None
     return buf.raw[:r]
+
+
+def zstd_decode(data: bytes, verify_checksum: bool = True):
+    """Native zstd decode of concatenated frames (the CPU tier of the
+    flagship decode path, C/zstd/zstd_decompress_block.c analog).
+    Returns bytes, or None if the library is unavailable or the frame
+    needs an unsupported feature (external dictionary, legacy format)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "tz_zstd_decode_alloc"):
+        return None
+    out = ctypes.c_void_p()
+    r = lib.tz_zstd_decode_alloc(data, len(data), ctypes.byref(out),
+                                 1 if verify_checksum else 0)
+    if r < 0:
+        return None
+    try:
+        return ctypes.string_at(out, r)
+    finally:
+        lib.tz_buf_free(out)
 
 
 def available() -> bool:

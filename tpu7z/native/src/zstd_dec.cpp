@@ -1,0 +1,860 @@
+// Fast host-tier Zstandard decoder (RFC 8878), written from the format
+// spec and mirroring the repo's validated Python decoder
+// (tpu7z/models/zstd/{frame,literals,sequences,fse,huffman}.py).
+//
+// Behavioral reference (NOT copied): /root/reference/C/zstd/
+//   zstd_decompress.c:953  (ZSTD_decompressFrame block loop)
+//   zstd_decompress_block.c:134  (literals section)
+//   zstd_decompress_block.c:1001 (sequence execution)
+//   huf_decompress.c:602 (4-stream Huffman)
+//   fse_decompress.c:161 (FSE table build)
+//
+// This is the CPU tier of the framework's flagship decode path; the
+// device tier (Pallas bit-chain) lives in tpu7z/ops/bitchain.py.
+
+#include <cstddef>
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+
+extern "C" uint64_t tz_xxh64(const uint8_t* data, size_t n, uint64_t seed);
+
+namespace zdec {
+
+// ---------------------------------------------------------------------------
+// errors
+// ---------------------------------------------------------------------------
+enum {
+    ERR_CORRUPT = -1,
+    ERR_DST_TOO_SMALL = -2,
+    ERR_UNSUPPORTED = -3,
+    ERR_CHECKSUM = -4,
+};
+
+struct Err {};  // thrown on corrupt input
+
+static inline uint32_t rd32le(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+static inline uint64_t rd64le(const uint8_t* p) {
+    uint64_t v;
+    std::memcpy(&v, p, 8);
+    return v;
+}
+
+static inline int highbit32(uint32_t v) {  // floor(log2(v)), v != 0
+    return 31 - __builtin_clz(v);
+}
+
+// ---------------------------------------------------------------------------
+// forward LSB-first bit reader (FSE table descriptions, Huffman weights)
+// ---------------------------------------------------------------------------
+struct FwdBits {
+    const uint8_t* data;
+    size_t len;
+    size_t bitpos = 0;
+
+    FwdBits(const uint8_t* d, size_t n) : data(d), len(n) {}
+
+    uint32_t read(unsigned nbits) {
+        if (nbits == 0) return 0;
+        size_t byte0 = bitpos >> 3;
+        unsigned shift = bitpos & 7;
+        uint64_t acc = 0;
+        unsigned nbytes = (shift + nbits + 7) >> 3;
+        for (unsigned i = 0; i < nbytes; i++)
+            if (byte0 + i < len) acc |= (uint64_t)data[byte0 + i] << (8 * i);
+        bitpos += nbits;
+        return (uint32_t)((acc >> shift) & ((1ull << nbits) - 1));
+    }
+    size_t bytes_consumed() const { return (bitpos + 7) >> 3; }
+};
+
+// ---------------------------------------------------------------------------
+// backward bit reader (zstd entropy streams). Reads from the top of the
+// stream downwards; the last byte carries a 1-bit end marker. Overread
+// below zero yields zero bits (allowed during final state loads).
+// ---------------------------------------------------------------------------
+struct BackBits {
+    const uint8_t* data;
+    size_t len;
+    std::ptrdiff_t bitpos;  // bits remaining below the marker
+
+    bool init(const uint8_t* d, size_t n) {
+        data = d;
+        len = n;
+        if (n == 0 || d[n - 1] == 0) return false;
+        bitpos = (std::ptrdiff_t)(8 * n) - (8 - highbit32(d[n - 1]));
+        return true;
+    }
+
+    inline uint32_t peek_at(std::ptrdiff_t pos, unsigned nbits) const {
+        if (pos >= 0) {
+            size_t b = (size_t)pos >> 3;
+            unsigned sh = (unsigned)pos & 7;
+            uint64_t acc;
+            if (b + 8 <= len) {
+                std::memcpy(&acc, data + b, 8);
+            } else {
+                acc = 0;
+                std::memcpy(&acc, data + b, len - b);
+            }
+            return (uint32_t)((acc >> sh) & ((1ull << nbits) - 1));
+        }
+        std::ptrdiff_t valid = (std::ptrdiff_t)nbits + pos;  // valid top bits
+        if (valid <= 0) return 0;
+        uint64_t acc = 0;
+        size_t nbytes = ((size_t)valid + 7) >> 3;
+        for (size_t i = 0; i < nbytes && i < len; i++)
+            acc |= (uint64_t)data[i] << (8 * i);
+        return (uint32_t)((acc & ((1ull << valid) - 1)) << (-pos));
+    }
+
+    inline uint32_t read(unsigned nbits) {
+        if (nbits == 0) return 0;
+        bitpos -= nbits;
+        return peek_at(bitpos, nbits);
+    }
+    inline uint32_t peek(unsigned nbits) const {
+        return peek_at(bitpos - (std::ptrdiff_t)nbits, nbits);
+    }
+    inline void consume(unsigned nbits) { bitpos -= nbits; }
+    bool overread() const { return bitpos < 0; }
+};
+
+// ---------------------------------------------------------------------------
+// FSE decode tables (fse.py read_ncount / build_dtable semantics)
+// ---------------------------------------------------------------------------
+struct FseDTable {
+    uint8_t symbol[1 << 9];
+    uint8_t nb_bits[1 << 9];
+    int32_t base[1 << 9];
+    unsigned accuracy_log = 0;
+};
+
+// Parse normalized counts. counts: out array of size max_symbol+1 (int16).
+// Returns accuracy_log or throws.
+static unsigned read_ncount(FwdBits& r, int16_t* counts, unsigned max_symbol,
+                            unsigned max_accuracy) {
+    unsigned accuracy_log = r.read(4) + 5;
+    if (accuracy_log > max_accuracy) throw Err{};
+    int table_size = 1 << accuracy_log;
+    int remaining = table_size + 1;
+    int threshold = table_size;
+    unsigned nb_bits = accuracy_log + 1;
+    unsigned n = 0;
+    for (unsigned i = 0; i <= max_symbol; i++) counts[i] = 0;
+    bool prev_zero = false;
+    while (remaining > 1) {
+        if (n > max_symbol + 1) throw Err{};
+        if (prev_zero) {
+            for (;;) {
+                uint32_t rep = r.read(2);
+                for (uint32_t k = 0; k < rep; k++) {
+                    if (n > max_symbol) throw Err{};
+                    counts[n++] = 0;
+                }
+                if (rep < 3) break;
+                if (n > max_symbol + 1) throw Err{};
+            }
+            prev_zero = false;
+            continue;
+        }
+        int maxv = 2 * threshold - 1 - remaining;
+        int value = (int)r.read(nb_bits - 1);
+        if (value >= maxv) {
+            int extra = (int)r.read(1);
+            value |= extra << (nb_bits - 1);
+            if (value >= threshold) value -= maxv;
+        }
+        int count = value - 1;  // -1 = "less than 1" probability
+        remaining -= count < 0 ? -count : count;
+        if (n > max_symbol) throw Err{};
+        counts[n++] = (int16_t)count;
+        prev_zero = (count == 0);
+        while (remaining < threshold) {
+            nb_bits--;
+            threshold >>= 1;
+        }
+    }
+    if (remaining != 1) throw Err{};
+    if (n > max_symbol + 1) throw Err{};
+    return accuracy_log;
+}
+
+// Spread symbols and fill the decode table (fse.py _spread_symbols +
+// build_dtable).
+static void build_dtable(const int16_t* counts, unsigned nsym,
+                         unsigned accuracy_log, FseDTable& dt) {
+    int table_size = 1 << accuracy_log;
+    dt.accuracy_log = accuracy_log;
+    int check = 0;
+    for (unsigned s = 0; s < nsym; s++)
+        check += counts[s] < 0 ? 1 : counts[s];
+    if (check != table_size) throw Err{};
+
+    uint8_t spread[1 << 9];
+    int high = table_size - 1;
+    for (unsigned s = 0; s < nsym; s++)
+        if (counts[s] == -1) spread[high--] = (uint8_t)s;
+    int step = (table_size >> 1) + (table_size >> 3) + 3;
+    int mask = table_size - 1;
+    int pos = 0;
+    for (unsigned s = 0; s < nsym; s++) {
+        for (int c = 0; c < counts[s]; c++) {
+            spread[pos] = (uint8_t)s;
+            pos = (pos + step) & mask;
+            while (pos > high) pos = (pos + step) & mask;
+        }
+    }
+    if (pos != 0) throw Err{};
+
+    int symbol_next[256];
+    for (unsigned s = 0; s < nsym; s++)
+        symbol_next[s] = counts[s] < 0 ? 1 : counts[s];
+    for (int u = 0; u < table_size; u++) {
+        unsigned s = spread[u];
+        int next_state = symbol_next[s]++;
+        unsigned nb = accuracy_log - (unsigned)highbit32((uint32_t)next_state);
+        dt.symbol[u] = (uint8_t)s;
+        dt.nb_bits[u] = (uint8_t)nb;
+        dt.base[u] = (int32_t)((next_state << nb) - table_size);
+    }
+}
+
+static void build_rle_dtable(unsigned symbol, FseDTable& dt) {
+    dt.accuracy_log = 0;
+    dt.symbol[0] = (uint8_t)symbol;
+    dt.nb_bits[0] = 0;
+    dt.base[0] = 0;
+}
+
+// ---------------------------------------------------------------------------
+// Huffman (literals): tree description + single-level decode table
+// ---------------------------------------------------------------------------
+struct HufDTable {
+    // entry = symbol | (nbits << 8), indexed by table_log-bit prefix
+    uint16_t table[1 << 12];
+    unsigned table_log = 0;
+    bool valid = false;
+};
+
+// huffman.py _fse_decode_weights
+static unsigned fse_decode_weights(const uint8_t* payload, size_t n,
+                                   uint8_t* weights /*256*/) {
+    FwdBits r(payload, n);
+    int16_t counts[256];
+    unsigned acc_log = read_ncount(r, counts, 255, 6);
+    size_t hdr = r.bytes_consumed();
+    if (hdr > n) throw Err{};
+    FseDTable dt;
+    build_dtable(counts, 256, acc_log, dt);
+    BackBits br;
+    if (!br.init(payload + hdr, n - hdr)) throw Err{};
+    uint32_t st[2];
+    st[0] = br.read(acc_log);
+    st[1] = br.read(acc_log);
+    if (br.overread()) throw Err{};
+    unsigned count = 0;
+    for (unsigned i = 0;; i++) {
+        if (count > 255) throw Err{};
+        uint32_t s = st[i & 1];
+        weights[count++] = dt.symbol[s];
+        st[i & 1] = (uint32_t)(dt.base[s] + (int32_t)br.read(dt.nb_bits[s]));
+        if (br.overread()) {
+            if (count > 255) throw Err{};
+            weights[count++] = dt.symbol[st[(i + 1) & 1]];
+            return count;
+        }
+    }
+}
+
+// huffman.py read_tree_description + build_decode_table. Returns bytes
+// consumed.
+static size_t read_huf_table(const uint8_t* src, size_t n, HufDTable& ht) {
+    if (n < 1) throw Err{};
+    unsigned hdr = src[0];
+    uint8_t w[256];
+    std::memset(w, 0, sizeof(w));
+    unsigned nsym_explicit;
+    size_t consumed;
+    if (hdr >= 128) {
+        unsigned num = hdr - 127;
+        size_t nbytes = (num + 1) / 2;
+        if (n < 1 + nbytes) throw Err{};
+        for (unsigned i = 0; i < num; i++) {
+            uint8_t b = src[1 + i / 2];
+            w[i] = (i % 2 == 0) ? (b >> 4) : (b & 0xF);
+        }
+        consumed = 1 + nbytes;
+        nsym_explicit = num;
+    } else {
+        size_t csize = hdr;
+        if (n < 1 + csize) throw Err{};
+        nsym_explicit = fse_decode_weights(src + 1, csize, w);
+        consumed = 1 + csize;
+    }
+    // implied last weight completes a power of two
+    uint32_t total = 0;
+    for (unsigned i = 0; i < nsym_explicit; i++) {
+        if (w[i] > 12) throw Err{};
+        if (w[i] > 0) total += 1u << (w[i] - 1);
+    }
+    if (total == 0) throw Err{};
+    unsigned table_log = highbit32(total) + 1;  // smallest L with 2^L > total
+    if (table_log > 12) throw Err{};
+    uint32_t rest = (1u << table_log) - total;
+    if (rest & (rest - 1)) throw Err{};
+    unsigned last_weight = highbit32(rest) + 1;
+    if (nsym_explicit >= 256) throw Err{};
+    w[nsym_explicit] = (uint8_t)last_weight;
+    unsigned nsym = nsym_explicit + 1;
+
+    // canonical layout: symbols by ascending (weight, symbol); a symbol of
+    // weight wt occupies 2^(wt-1) consecutive slots, nbits = L + 1 - wt.
+    ht.table_log = table_log;
+    unsigned pos = 0;
+    for (unsigned wt = 1; wt <= table_log; wt++) {
+        unsigned span = 1u << (wt - 1);
+        unsigned nb = table_log + 1 - wt;
+        for (unsigned s = 0; s < nsym; s++) {
+            if (w[s] != wt) continue;
+            uint16_t e = (uint16_t)(s | (nb << 8));
+            for (unsigned k = 0; k < span; k++) ht.table[pos + k] = e;
+            pos += span;
+        }
+    }
+    if (pos != (1u << table_log)) throw Err{};
+    ht.valid = true;
+    return consumed;
+}
+
+// Decode `count` symbols from one backward Huffman stream.
+static void huf_decode_stream(const uint8_t* src, size_t n, const HufDTable& ht,
+                              uint8_t* out, size_t count) {
+    BackBits br;
+    if (!br.init(src, n)) throw Err{};
+    unsigned tl = ht.table_log;
+    const uint16_t* tab = ht.table;
+    size_t i = 0;
+    // fast path while fully inside the stream: direct 8-byte loads
+    while (i + 4 <= count && br.bitpos >= (std::ptrdiff_t)(4 * tl)) {
+        for (int k = 0; k < 4; k++) {
+            std::ptrdiff_t pos = br.bitpos - (std::ptrdiff_t)tl;
+            size_t b = (size_t)pos >> 3;
+            unsigned sh = (unsigned)pos & 7;
+            uint64_t acc;
+            if (b + 8 <= n) std::memcpy(&acc, src + b, 8);
+            else { acc = 0; std::memcpy(&acc, src + b, n - b); }
+            uint16_t e = tab[(acc >> sh) & ((1u << tl) - 1)];
+            out[i++] = (uint8_t)e;
+            br.bitpos -= (e >> 8);
+        }
+    }
+    while (i < count) {
+        uint16_t e = tab[br.peek(tl)];
+        out[i++] = (uint8_t)e;
+        br.consume(e >> 8);
+    }
+    // allowed to end with bitpos >= 0 slack (padding) but not deep overread
+    if (br.bitpos < -(std::ptrdiff_t)tl) throw Err{};
+}
+
+// ---------------------------------------------------------------------------
+// sequences: code tables (sequences.py)
+// ---------------------------------------------------------------------------
+static const uint8_t LL_BITS[36] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3,
+    4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16};
+static const uint32_t LL_BASE[36] = {
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 18, 20, 22,
+    24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384,
+    32768, 65536};
+static const uint8_t ML_BITS[53] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10,
+    11, 12, 13, 14, 15, 16};
+static const uint32_t ML_BASE[53] = {
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22,
+    23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 37, 39, 41, 43, 47,
+    51, 59, 67, 83, 99, 131, 259, 515, 1027, 2051, 4099, 8195, 16387, 32771,
+    65539};
+
+static const int16_t LL_DEF_NORM[36] = {
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2,
+    2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1};
+static const int16_t ML_DEF_NORM[53] = {
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1,
+    -1, -1, -1, -1, -1, -1};
+static const int16_t OF_DEF_NORM[29] = {
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1, -1};
+
+enum { MAX_LL_CODE = 35, MAX_ML_CODE = 52, MAX_OF_CODE = 31 };
+enum { MAX_LL_LOG = 9, MAX_ML_LOG = 9, MAX_OF_LOG = 8 };
+
+// ---------------------------------------------------------------------------
+// frame decoder state
+// ---------------------------------------------------------------------------
+struct DecState {
+    HufDTable huf;        // carried across blocks (treeless literals)
+    FseDTable ll, of, ml;
+    bool tables_valid = false;
+    uint64_t rep[3] = {1, 4, 8};
+    std::vector<uint8_t> lits;  // literal scratch (128K + slack)
+    std::vector<uint32_t> seq_ll, seq_ml;
+    std::vector<uint64_t> seq_of;
+};
+
+// literals.py decode()
+static size_t decode_literals(const uint8_t* src, size_t n, DecState& st,
+                              size_t* lit_size) {
+    if (n < 1) throw Err{};
+    unsigned b0 = src[0];
+    unsigned ltype = b0 & 3;
+    unsigned size_format = (b0 >> 2) & 3;
+
+    if (ltype <= 1) {  // RAW / RLE
+        size_t regen, hdr;
+        if (size_format == 0 || size_format == 2) {
+            regen = b0 >> 3;
+            hdr = 1;
+        } else if (size_format == 1) {
+            if (n < 2) throw Err{};
+            regen = (b0 >> 4) | ((size_t)src[1] << 4);
+            hdr = 2;
+        } else {
+            if (n < 3) throw Err{};
+            regen = (b0 >> 4) | ((size_t)src[1] << 4) | ((size_t)src[2] << 12);
+            hdr = 3;
+        }
+        if (regen > (1u << 20)) throw Err{};
+        st.lits.resize(regen + 32);
+        *lit_size = regen;
+        if (ltype == 0) {
+            if (n < hdr + regen) throw Err{};
+            std::memcpy(st.lits.data(), src + hdr, regen);
+            return hdr + regen;
+        }
+        if (n < hdr + 1) throw Err{};
+        std::memset(st.lits.data(), src[hdr], regen);
+        return hdr + 1;
+    }
+
+    // Compressed / Treeless
+    size_t regen, csize, hdr;
+    unsigned streams;
+    if (size_format == 0) {
+        if (n < 3) throw Err{};
+        uint32_t h = b0 | ((uint32_t)src[1] << 8) | ((uint32_t)src[2] << 16);
+        regen = (h >> 4) & 0x3FF;
+        csize = (h >> 14) & 0x3FF;
+        hdr = 3;
+        streams = 1;
+    } else if (size_format == 1) {
+        if (n < 3) throw Err{};
+        uint32_t h = b0 | ((uint32_t)src[1] << 8) | ((uint32_t)src[2] << 16);
+        regen = (h >> 4) & 0x3FF;
+        csize = (h >> 14) & 0x3FF;
+        hdr = 3;
+        streams = 4;
+    } else if (size_format == 2) {
+        if (n < 4) throw Err{};
+        uint32_t h = b0 | ((uint32_t)src[1] << 8) | ((uint32_t)src[2] << 16)
+                     | ((uint32_t)src[3] << 24);
+        regen = (h >> 4) & 0x3FFF;
+        csize = (h >> 18) & 0x3FFF;
+        hdr = 4;
+        streams = 4;
+    } else {
+        if (n < 5) throw Err{};
+        uint64_t h = (uint64_t)b0 | ((uint64_t)src[1] << 8)
+                     | ((uint64_t)src[2] << 16) | ((uint64_t)src[3] << 24)
+                     | ((uint64_t)src[4] << 32);
+        regen = (h >> 4) & 0x3FFFF;
+        csize = (h >> 22) & 0x3FFFF;
+        hdr = 5;
+        streams = 4;
+    }
+    if (n < hdr + csize) throw Err{};
+    const uint8_t* payload = src + hdr;
+    size_t pn = csize;
+
+    if (ltype == 2) {  // fresh Huffman table
+        size_t used = read_huf_table(payload, pn, st.huf);
+        payload += used;
+        pn -= used;
+    } else if (!st.huf.valid) {
+        throw Err{};
+    }
+
+    st.lits.resize(regen + 32);
+    *lit_size = regen;
+    if (streams == 1) {
+        huf_decode_stream(payload, pn, st.huf, st.lits.data(), regen);
+    } else {
+        if (pn < 6) throw Err{};
+        size_t s1 = payload[0] | ((size_t)payload[1] << 8);
+        size_t s2 = payload[2] | ((size_t)payload[3] << 8);
+        size_t s3 = payload[4] | ((size_t)payload[5] << 8);
+        const uint8_t* body = payload + 6;
+        size_t bn = pn - 6;
+        if (s1 + s2 + s3 > bn) throw Err{};
+        size_t n123 = (regen + 3) / 4;
+        if (regen < 3 * n123) throw Err{};
+        size_t n4 = regen - 3 * n123;
+        const uint8_t* parts[4] = {body, body + s1, body + s1 + s2,
+                                   body + s1 + s2 + s3};
+        size_t plens[4] = {s1, s2, s3, bn - s1 - s2 - s3};
+        size_t counts[4] = {n123, n123, n123, n4};
+        size_t off = 0;
+        for (int k = 0; k < 4; k++) {
+            if (counts[k])
+                huf_decode_stream(parts[k], plens[k], st.huf,
+                                  st.lits.data() + off, counts[k]);
+            off += counts[k];
+        }
+    }
+    return hdr + csize;
+}
+
+// sequences.py _read_table
+static size_t read_seq_table(unsigned mode, const uint8_t* src, size_t n,
+                             size_t pos, const int16_t* def_norm,
+                             unsigned def_nsym, unsigned def_log,
+                             unsigned max_sym, unsigned max_log,
+                             FseDTable& dt, bool have_prev) {
+    if (mode == 0) {
+        build_dtable(def_norm, def_nsym, def_log, dt);
+        return pos;
+    }
+    if (mode == 1) {
+        if (pos >= n) throw Err{};
+        unsigned sym = src[pos];
+        if (sym > max_sym) throw Err{};
+        build_rle_dtable(sym, dt);
+        return pos + 1;
+    }
+    if (mode == 2) {
+        FwdBits r(src + pos, n - pos);
+        int16_t counts[64];
+        unsigned log = read_ncount(r, counts, max_sym, max_log);
+        build_dtable(counts, max_sym + 1, log, dt);
+        return pos + r.bytes_consumed();
+    }
+    if (!have_prev) throw Err{};
+    return pos;  // repeat: keep dt as-is
+}
+
+// Decode a compressed block's sequences + execute into out[op..].
+// Returns new op.
+static size_t decode_block(const uint8_t* src, size_t n, DecState& st,
+                           uint8_t* out, size_t op, size_t cap) {
+    size_t lit_size = 0;
+    size_t used = decode_literals(src, n, st, &lit_size);
+    if (used > n) throw Err{};
+    const uint8_t* sp = src + used;
+    size_t sn = n - used;
+
+    // sequence count
+    if (sn == 0) throw Err{};
+    unsigned b0 = sp[0];
+    size_t pos = 1;
+    size_t nseq;
+    if (b0 < 128) {
+        nseq = b0;
+    } else if (b0 < 255) {
+        if (sn < 2) throw Err{};
+        nseq = ((size_t)(b0 - 128) << 8) + sp[1];
+        pos = 2;
+    } else {
+        if (sn < 3) throw Err{};
+        nseq = sp[1] + ((size_t)sp[2] << 8) + 0x7F00;
+        pos = 3;
+    }
+
+    if (nseq == 0) {
+        // all-literal block
+        if (op + lit_size > cap) throw Err{};
+        std::memcpy(out + op, st.lits.data(), lit_size);
+        return op + lit_size;
+    }
+
+    if (pos >= sn) throw Err{};
+    unsigned modes = sp[pos++];
+    if (modes & 3) throw Err{};
+    unsigned ll_mode = (modes >> 6) & 3;
+    unsigned of_mode = (modes >> 4) & 3;
+    unsigned ml_mode = (modes >> 2) & 3;
+
+    pos = read_seq_table(ll_mode, sp, sn, pos, LL_DEF_NORM, 36, 6,
+                         MAX_LL_CODE, MAX_LL_LOG, st.ll, st.tables_valid);
+    pos = read_seq_table(of_mode, sp, sn, pos, OF_DEF_NORM, 29, 5,
+                         MAX_OF_CODE, MAX_OF_LOG, st.of, st.tables_valid);
+    pos = read_seq_table(ml_mode, sp, sn, pos, ML_DEF_NORM, 53, 6,
+                         MAX_ML_CODE, MAX_ML_LOG, st.ml, st.tables_valid);
+    st.tables_valid = true;
+    if (pos > sn) throw Err{};
+
+    BackBits br;
+    if (!br.init(sp + pos, sn - pos)) throw Err{};
+    uint32_t ll_state = br.read(st.ll.accuracy_log);
+    uint32_t of_state = br.read(st.of.accuracy_log);
+    uint32_t ml_state = br.read(st.ml.accuracy_log);
+
+    // decode + execute fused: literals copied from st.lits as we go
+    const uint8_t* lp = st.lits.data();
+    size_t lit_left = lit_size;
+    uint64_t r0 = st.rep[0], r1 = st.rep[1], r2 = st.rep[2];
+
+    for (size_t i = 0; i < nseq; i++) {
+        unsigned ll_code = st.ll.symbol[ll_state];
+        unsigned of_code = st.of.symbol[of_state];
+        unsigned ml_code = st.ml.symbol[ml_state];
+        if (of_code > MAX_OF_CODE) throw Err{};
+
+        uint64_t of_value =
+            ((uint64_t)1 << of_code) + ((of_code > 31) ? 0 : br.read(of_code));
+        uint64_t ml = ML_BASE[ml_code] + br.read(ML_BITS[ml_code]);
+        uint64_t ll = LL_BASE[ll_code] + br.read(LL_BITS[ll_code]);
+        if (i + 1 < nseq) {
+            ll_state = (uint32_t)(st.ll.base[ll_state]
+                                  + (int32_t)br.read(st.ll.nb_bits[ll_state]));
+            ml_state = (uint32_t)(st.ml.base[ml_state]
+                                  + (int32_t)br.read(st.ml.nb_bits[ml_state]));
+            of_state = (uint32_t)(st.of.base[of_state]
+                                  + (int32_t)br.read(st.of.nb_bits[of_state]));
+        }
+
+        // resolve repeat offsets (sequences.py resolve_offsets)
+        uint64_t off;
+        if (of_value > 3) {
+            off = of_value - 3;
+            r2 = r1; r1 = r0; r0 = off;
+        } else if (ll == 0) {
+            if (of_value == 1) { off = r1; r1 = r0; r0 = off; }
+            else if (of_value == 2) { off = r2; r2 = r1; r1 = r0; r0 = off; }
+            else {
+                off = r0 - 1;
+                if (off == 0 || r0 == 0) throw Err{};
+                r2 = r1; r1 = r0; r0 = off;
+            }
+        } else {
+            if (of_value == 1) { off = r0; }
+            else if (of_value == 2) { off = r1; r1 = r0; r0 = off; }
+            else { off = r2; r2 = r1; r1 = r0; r0 = off; }
+        }
+
+        // execute: literal run then match copy
+        if (ll > lit_left) throw Err{};
+        if (op + ll + ml > cap) throw Err{};
+        if (ll) {
+            std::memcpy(out + op, lp, ll);
+            lp += ll; lit_left -= ll; op += ll;
+        }
+        if (off > op) throw Err{};
+        size_t start = op - (size_t)off;
+        if (off >= ml) {
+            // non-overlapping: wildcopy in 16-byte chunks (bounds-checked)
+            if (op + ml + 16 <= cap && off >= 16) {
+                size_t done = 0;
+                while (done < ml) {
+                    std::memcpy(out + op + done, out + start + done, 16);
+                    done += 16;
+                }
+            } else {
+                std::memmove(out + op, out + start, ml);
+            }
+            op += ml;
+        } else if (off > 0) {
+            // overlapping: period replication
+            for (size_t k = 0; k < ml; k++) out[op + k] = out[start + k];
+            op += ml;
+        } else {
+            throw Err{};
+        }
+    }
+    if (br.overread()) throw Err{};
+    // trailing literals
+    if (lit_left) {
+        if (op + lit_left > cap) throw Err{};
+        std::memcpy(out + op, lp, lit_left);
+        op += lit_left;
+    }
+    st.rep[0] = r0; st.rep[1] = r1; st.rep[2] = r2;
+    return op;
+}
+
+// Decode one zstd frame at src; appends to out. Returns bytes consumed.
+static size_t decode_frame(const uint8_t* src, size_t n,
+                           std::vector<uint8_t>& out, bool verify) {
+    if (n < 8) throw Err{};
+    uint32_t magic = rd32le(src);
+    if (magic >= 0x184D2A50u && magic <= 0x184D2A5Fu) {
+        uint32_t size = rd32le(src + 4);
+        if (8 + (size_t)size > n) throw Err{};
+        return 8 + size;
+    }
+    if (magic != 0xFD2FB528u) throw Err{};
+    if (n < 5) throw Err{};
+    unsigned fhd = src[4];
+    size_t pos = 5;
+    unsigned fcs_flag = fhd >> 6;
+    bool single_segment = fhd & (1 << 5);
+    if (fhd & (1 << 3)) throw Err{};
+    bool checksum = fhd & (1 << 2);
+    unsigned did_flag = fhd & 3;
+
+    uint64_t window_size = 0;
+    if (!single_segment) {
+        if (n < pos + 1) throw Err{};
+        unsigned wd = src[pos++];
+        unsigned exponent = wd >> 3;
+        unsigned mantissa = wd & 7;
+        uint64_t base = 1ull << (10 + exponent);
+        window_size = base + (base / 8) * mantissa;
+        if (window_size > (1ull << 31)) throw Err{};
+    }
+    static const unsigned did_bytes_tab[4] = {0, 1, 2, 4};
+    unsigned did_bytes = did_bytes_tab[did_flag];
+    if (did_bytes) {
+        if (n < pos + did_bytes) throw Err{};
+        // dictionary IDs are parsed but external dictionaries are not
+        // supported on the native tier; raw frames from the reference
+        // encoder never use them.
+        uint64_t dict_id = 0;
+        for (unsigned i = 0; i < did_bytes; i++)
+            dict_id |= (uint64_t)src[pos + i] << (8 * i);
+        pos += did_bytes;
+        if (dict_id != 0) throw Err{};
+    }
+    unsigned fcs_bytes;
+    if (fcs_flag == 0) fcs_bytes = single_segment ? 1 : 0;
+    else if (fcs_flag == 1) fcs_bytes = 2;
+    else if (fcs_flag == 2) fcs_bytes = 4;
+    else fcs_bytes = 8;
+    bool have_csize = fcs_bytes != 0;
+    uint64_t content_size = 0;
+    if (have_csize) {
+        if (n < pos + fcs_bytes) throw Err{};
+        for (unsigned i = 0; i < fcs_bytes; i++)
+            content_size |= (uint64_t)src[pos + i] << (8 * i);
+        if (fcs_bytes == 2) content_size += 256;
+        pos += fcs_bytes;
+        if (content_size > (1ull << 40)) throw Err{};
+    }
+
+    size_t base_op = out.size();
+    if (have_csize) out.resize(base_op + content_size + 32);
+    else out.resize(base_op + (1u << 20));
+    size_t op = base_op;
+
+    DecState st;
+    uint64_t block_cap = 128 * 1024;
+    if (!single_segment && window_size && window_size < block_cap)
+        block_cap = window_size;
+
+    for (;;) {
+        if (pos + 3 > n) throw Err{};
+        uint32_t bh = src[pos] | ((uint32_t)src[pos + 1] << 8)
+                      | ((uint32_t)src[pos + 2] << 16);
+        pos += 3;
+        unsigned last = bh & 1;
+        unsigned btype = (bh >> 1) & 3;
+        size_t bsize = bh >> 3;
+        if (btype == 3) throw Err{};
+        // ensure capacity for the worst case (decoded block <= 128K)
+        if (op + (128 * 1024) + 64 > out.size())
+            out.resize(op + (op - base_op) + (1u << 20));
+        if (btype == 0) {  // raw
+            if (pos + bsize > n) throw Err{};
+            std::memcpy(out.data() + op, src + pos, bsize);
+            op += bsize;
+            pos += bsize;
+        } else if (btype == 1) {  // RLE
+            if (pos + 1 > n) throw Err{};
+            std::memset(out.data() + op, src[pos], bsize);
+            op += bsize;
+            pos += 1;
+        } else {
+            if (bsize > block_cap) throw Err{};
+            if (pos + bsize > n) throw Err{};
+            op = decode_block(src + pos, bsize, st, out.data(), op,
+                              out.size());
+            pos += bsize;
+        }
+        if (last) break;
+    }
+
+    if (have_csize && op - base_op != content_size) throw Err{};
+    out.resize(op);
+    if (checksum) {
+        if (pos + 4 > n) throw Err{};
+        uint32_t want = rd32le(src + pos);
+        pos += 4;
+        if (verify) {
+            uint32_t got = (uint32_t)tz_xxh64(out.data() + base_op,
+                                              op - base_op, 0);
+            if (got != want) throw Err{};
+        }
+    }
+    return pos;
+}
+
+}  // namespace zdec
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+// Decode a concatenation of zstd frames into dst (capacity cap).
+// Returns decoded size, or a negative error code.
+extern "C" long long tz_zstd_decode(const uint8_t* src, size_t n,
+                                    uint8_t* dst, size_t cap,
+                                    int verify_checksum) {
+    try {
+        std::vector<uint8_t> out;
+        out.reserve(cap < (1u << 26) ? cap : (1u << 26));
+        size_t pos = 0;
+        while (pos < n) {
+            if (n - pos < 4) return zdec::ERR_CORRUPT;
+            pos += zdec::decode_frame(src + pos, n - pos, out,
+                                      verify_checksum != 0);
+        }
+        if (out.size() > cap) return zdec::ERR_DST_TOO_SMALL;
+        std::memcpy(dst, out.data(), out.size());
+        return (long long)out.size();
+    } catch (...) {
+        return zdec::ERR_CORRUPT;
+    }
+}
+
+// Variant returning a malloc'd buffer (for unknown decoded sizes).
+// Caller frees with tz_buf_free.
+extern "C" long long tz_zstd_decode_alloc(const uint8_t* src, size_t n,
+                                          uint8_t** out_ptr,
+                                          int verify_checksum) {
+    try {
+        std::vector<uint8_t> out;
+        size_t pos = 0;
+        while (pos < n) {
+            if (n - pos < 4) return zdec::ERR_CORRUPT;
+            pos += zdec::decode_frame(src + pos, n - pos, out,
+                                      verify_checksum != 0);
+        }
+        uint8_t* buf = (uint8_t*)std::malloc(out.size() ? out.size() : 1);
+        if (!buf) return zdec::ERR_CORRUPT;
+        std::memcpy(buf, out.data(), out.size());
+        *out_ptr = buf;
+        return (long long)out.size();
+    } catch (...) {
+        return zdec::ERR_CORRUPT;
+    }
+}
+
+extern "C" void tz_buf_free(uint8_t* p) { std::free(p); }
