@@ -119,6 +119,30 @@ struct BackBits {
         bitpos -= nbits;
         return peek_at(bitpos, nbits);
     }
+
+    // Read three fields (top-down order) with one 8-byte load when the
+    // total fits a 57-bit window; equivalent to read(n1),read(n2),read(n3).
+    inline void read3(unsigned n1, unsigned n2, unsigned n3,
+                      uint32_t* v1, uint32_t* v2, uint32_t* v3) {
+        unsigned tot = n1 + n2 + n3;
+        std::ptrdiff_t pos = bitpos - (std::ptrdiff_t)tot;
+        if (pos >= 0 && tot <= 57) {
+            size_t B = (size_t)pos >> 3;
+            if (B + 8 <= len) {
+                bitpos = pos;
+                uint64_t acc;
+                std::memcpy(&acc, data + B, 8);
+                uint64_t w = acc >> ((unsigned)pos & 7);
+                *v3 = (uint32_t)(w & ((1ull << n3) - 1));
+                *v2 = (uint32_t)((w >> n3) & ((1ull << n2) - 1));
+                *v1 = (uint32_t)((w >> (n3 + n2)) & ((1ull << n1) - 1));
+                return;
+            }
+        }
+        *v1 = read(n1);
+        *v2 = read(n2);
+        *v3 = read(n3);
+    }
     inline uint32_t peek(unsigned nbits) const {
         return peek_at(bitpos - (std::ptrdiff_t)nbits, nbits);
     }
@@ -334,27 +358,43 @@ static size_t read_huf_table(const uint8_t* src, size_t n, HufDTable& ht) {
 }
 
 // Decode `count` symbols from one backward Huffman stream.
+// Fast path decodes 4 symbols per 8-byte load: with table_log <= 12 and
+// bitpos >= 57, the window loaded at byte (bitpos-57)>>3 covers all four
+// peeks (4*12 + 12 = 60 <= 57+7 window top slack; see derivation in the
+// loop). Mirrors the ILP structure of the reference's 4X decoder
+// (huf_decompress.c:602) without copying it.
 static void huf_decode_stream(const uint8_t* src, size_t n, const HufDTable& ht,
                               uint8_t* out, size_t count) {
     BackBits br;
     if (!br.init(src, n)) throw Err{};
     unsigned tl = ht.table_log;
     const uint16_t* tab = ht.table;
+    const uint32_t mask = (1u << tl) - 1;
     size_t i = 0;
-    // fast path while fully inside the stream: direct 8-byte loads
-    while (i + 4 <= count && br.bitpos >= (std::ptrdiff_t)(4 * tl)) {
-        for (int k = 0; k < 4; k++) {
-            std::ptrdiff_t pos = br.bitpos - (std::ptrdiff_t)tl;
-            size_t b = (size_t)pos >> 3;
-            unsigned sh = (unsigned)pos & 7;
-            uint64_t acc;
-            if (b + 8 <= n) std::memcpy(&acc, src + b, 8);
-            else { acc = 0; std::memcpy(&acc, src + b, n - b); }
-            uint16_t e = tab[(acc >> sh) & ((1u << tl) - 1)];
-            out[i++] = (uint8_t)e;
-            br.bitpos -= (e >> 8);
-        }
+    std::ptrdiff_t pos = br.bitpos;
+    // fast path: pos >= 57 guarantees byte window B=(pos-57)>>3 in range
+    // (B+8 <= n) and 4 consecutive peeks of <= 12 bits stay inside it.
+    while (i + 4 <= count && pos >= (std::ptrdiff_t)(48 + tl) && pos >= 57) {
+        size_t B = (size_t)(pos - 57) >> 3;
+        uint64_t acc;
+        std::memcpy(&acc, src + B, 8);
+        unsigned rel = (unsigned)(pos - 8 * B);
+        uint16_t e0 = tab[(acc >> (rel - tl)) & mask];
+        rel -= e0 >> 8;
+        uint16_t e1 = tab[(acc >> (rel - tl)) & mask];
+        rel -= e1 >> 8;
+        uint16_t e2 = tab[(acc >> (rel - tl)) & mask];
+        rel -= e2 >> 8;
+        uint16_t e3 = tab[(acc >> (rel - tl)) & mask];
+        rel -= e3 >> 8;
+        out[i] = (uint8_t)e0;
+        out[i + 1] = (uint8_t)e1;
+        out[i + 2] = (uint8_t)e2;
+        out[i + 3] = (uint8_t)e3;
+        i += 4;
+        pos = 8 * B + rel;
     }
+    br.bitpos = pos;
     while (i < count) {
         uint16_t e = tab[br.peek(tl)];
         out[i++] = (uint8_t)e;
@@ -612,23 +652,35 @@ static size_t decode_block(const uint8_t* src, size_t n, DecState& st,
     size_t lit_left = lit_size;
     uint64_t r0 = st.rep[0], r1 = st.rep[1], r2 = st.rep[2];
 
+    const uint8_t* ll_sym = st.ll.symbol;
+    const uint8_t* of_sym = st.of.symbol;
+    const uint8_t* ml_sym = st.ml.symbol;
+    const uint8_t* ll_nb = st.ll.nb_bits;
+    const uint8_t* of_nb = st.of.nb_bits;
+    const uint8_t* ml_nb = st.ml.nb_bits;
+    const int32_t* ll_bs = st.ll.base;
+    const int32_t* of_bs = st.of.base;
+    const int32_t* ml_bs = st.ml.base;
+
     for (size_t i = 0; i < nseq; i++) {
-        unsigned ll_code = st.ll.symbol[ll_state];
-        unsigned of_code = st.of.symbol[of_state];
-        unsigned ml_code = st.ml.symbol[ml_state];
+        unsigned ll_code = ll_sym[ll_state];
+        unsigned of_code = of_sym[of_state];
+        unsigned ml_code = ml_sym[ml_state];
         if (of_code > MAX_OF_CODE) throw Err{};
 
-        uint64_t of_value =
-            ((uint64_t)1 << of_code) + ((of_code > 31) ? 0 : br.read(of_code));
-        uint64_t ml = ML_BASE[ml_code] + br.read(ML_BITS[ml_code]);
-        uint64_t ll = LL_BASE[ll_code] + br.read(LL_BITS[ll_code]);
+        uint32_t vof, vml, vll;
+        br.read3(of_code, ML_BITS[ml_code], LL_BITS[ll_code],
+                 &vof, &vml, &vll);
+        uint64_t of_value = ((uint64_t)1 << of_code) + vof;
+        uint64_t ml = ML_BASE[ml_code] + vml;
+        uint64_t ll = LL_BASE[ll_code] + vll;
         if (i + 1 < nseq) {
-            ll_state = (uint32_t)(st.ll.base[ll_state]
-                                  + (int32_t)br.read(st.ll.nb_bits[ll_state]));
-            ml_state = (uint32_t)(st.ml.base[ml_state]
-                                  + (int32_t)br.read(st.ml.nb_bits[ml_state]));
-            of_state = (uint32_t)(st.of.base[of_state]
-                                  + (int32_t)br.read(st.of.nb_bits[of_state]));
+            uint32_t b1, b2, b3;
+            br.read3(ll_nb[ll_state], ml_nb[ml_state], of_nb[of_state],
+                     &b1, &b2, &b3);
+            ll_state = (uint32_t)(ll_bs[ll_state] + (int32_t)b1);
+            ml_state = (uint32_t)(ml_bs[ml_state] + (int32_t)b2);
+            of_state = (uint32_t)(of_bs[of_state] + (int32_t)b3);
         }
 
         // resolve repeat offsets (sequences.py resolve_offsets)
@@ -654,29 +706,59 @@ static size_t decode_block(const uint8_t* src, size_t n, DecState& st,
         if (ll > lit_left) throw Err{};
         if (op + ll + ml > cap) throw Err{};
         if (ll) {
-            std::memcpy(out + op, lp, ll);
+            if (ll <= 16 && op + 16 <= cap) {
+                std::memcpy(out + op, lp, 16);  // lits buffer has slack
+            } else {
+                std::memcpy(out + op, lp, ll);
+            }
             lp += ll; lit_left -= ll; op += ll;
         }
-        if (off > op) throw Err{};
+        if (off > op || off == 0) throw Err{};
         size_t start = op - (size_t)off;
-        if (off >= ml) {
-            // non-overlapping: wildcopy in 16-byte chunks (bounds-checked)
-            if (op + ml + 16 <= cap && off >= 16) {
-                size_t done = 0;
-                while (done < ml) {
-                    std::memcpy(out + op + done, out + start + done, 16);
-                    done += 16;
+        if (op + ml + 32 <= cap) {
+            uint8_t* d = out + op;
+            const uint8_t* s = out + start;
+            if (off >= 16) {
+                std::memcpy(d, s, 16);
+                if (ml > 16) {
+                    size_t done = 16;
+                    do {
+                        std::memcpy(d + done, s + done, 16);
+                        done += 16;
+                    } while (done < ml);
                 }
+            } else if (off >= 8) {
+                // period 8..15: 8-byte steps never read past the write head
+                size_t done = 0;
+                do {
+                    std::memcpy(d + done, s + done, 8);
+                    done += 8;
+                } while (done < ml);
             } else {
-                std::memmove(out + op, out + start, ml);
+                // period < 8: seed 16 bytes byte-by-byte, then stride by
+                // m = largest multiple of off <= 16. Each stride writes 16
+                // bytes of which the first m are final; the tail garbage
+                // (16-m <= 8 bytes) is overwritten by the next stride or
+                // falls beyond ml into the 32-byte slack. Loads complete
+                // before stores (two u64 temporaries), so overlap is safe.
+                size_t m = (16 / off) * off;
+                size_t k = 0;
+                size_t seed = ml < 16 ? ml : 16;
+                for (; k < seed; k++) d[k] = s[k];
+                while (k < ml) {
+                    uint64_t a, b;
+                    std::memcpy(&a, d + k - m, 8);
+                    std::memcpy(&b, d + k - m + 8, 8);
+                    std::memcpy(d + k, &a, 8);
+                    std::memcpy(d + k + 8, &b, 8);
+                    k += m;
+                }
             }
             op += ml;
-        } else if (off > 0) {
-            // overlapping: period replication
+        } else {
+            // near end of buffer: safe byte copy
             for (size_t k = 0; k < ml; k++) out[op + k] = out[start + k];
             op += ml;
-        } else {
-            throw Err{};
         }
     }
     if (br.overread()) throw Err{};
@@ -784,8 +866,10 @@ static size_t decode_frame(const uint8_t* src, size_t n,
         } else {
             if (bsize > block_cap) throw Err{};
             if (pos + bsize > n) throw Err{};
+            size_t op_before = op;
             op = decode_block(src + pos, bsize, st, out.data(), op,
                               out.size());
+            if (op - op_before > 128 * 1024) throw Err{};  // RFC block cap
             pos += bsize;
         }
         if (last) break;
