@@ -937,7 +937,7 @@ struct Costs {
         for (size_t i = 0; i < blen; i++) h[blk[i]]++;
         for (int s = 0; s < 256; s++) {
             double p = h[s] ? double(h[s]) / blen : 1.0 / (blen + 256);
-            lit[s] = int32_t(-std::log2(p) * 32);
+            lit[s] = int32_t(std::max(1.0, -std::log2(p)) * 32);
         }
         for (int c = 0; c < 36; c++) llp[c] = (5 + kLLbits[c]) << 5;
         for (int c = 0; c < 53; c++) mlp[c] = (5 + kMLbits[c]) << 5;
@@ -951,7 +951,8 @@ struct Costs {
             for (int s = 0; s < 256; s++) {
                 double p = h[s] ? double(h[s]) / lits.size()
                                 : 0.5 / (lits.size() + 1);
-                lit[s] = int32_t(std::min(14.0, -std::log2(p)) * 32);
+                lit[s] = int32_t(
+                    std::min(14.0, std::max(1.0, -std::log2(p))) * 32);
             }
         }
         if (seqs.empty()) return;
