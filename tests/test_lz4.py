@@ -67,3 +67,25 @@ def test_we_decode_reference_frames(tmp_path, corpus):
             capture_output=True, check=True)
         decoded = lz4.frame.decompress(arc.read_bytes())
         assert decoded == data, f"failed to decode reference frame {name}"
+
+
+def test_linked_block_roundtrip(corpus):
+    from tpu7z.models.lz4 import frame
+    data = (corpus["text"] + corpus["struct"] + corpus["repeat"])[: 1 << 20]
+    linked = frame.compress_frame(data, block_size=65536,
+                                  block_independence=False)
+    indep = frame.compress_frame(data, block_size=65536,
+                                 block_independence=True)
+    assert frame.decompress(linked) == data
+    # linked mode must help (matches reach into the previous window)
+    assert len(linked) <= len(indep)
+
+
+def test_linked_block_edge_cases():
+    from tpu7z.models.lz4 import frame
+    assert frame.decompress(
+        frame.compress_frame(b"", block_independence=False)) == b""
+    rep = b"abcdef" * 10000
+    f = frame.compress_frame(rep, block_size=4096,
+                             block_independence=False)
+    assert frame.decompress(f) == rep

@@ -28,7 +28,8 @@ _EXT_TYPES = {
     ".squashfs": "squashfs", ".sqfs": "squashfs", ".cpio": "cpio",
     ".a": "ar", ".ar": "ar", ".deb": "ar", ".lib": "ar", ".rpm": "rpm",
     ".iso": "iso", ".Z": "z", ".taz": "z", ".xar": "xar",
-    ".pkg": "xar", ".lzh": "lzh", ".lha": "lzh",
+    ".pkg": "xar", ".lzh": "lzh", ".lha": "lzh", ".lz": "lzip",
+    ".tlz": "lzip",
 }
 
 
@@ -51,6 +52,8 @@ def _sniff_type(path: str, data: bytes | None = None) -> str:
             return "gzip"
         if data[:2] == b"\x1f\x9d":
             return "z"
+        if data[:4] == b"LZIP":
+            return "lzip"
         if data[:4] == b"xar!":
             return "xar"
         if len(data) > 7 and data[2:5] == b"-lh" and data[6:7] == b"-":
@@ -251,7 +254,7 @@ def _open_archive(opts, path):
         return atype, lzh.read_lzh(data), None
     codec = get_codec(atype)
     name = os.path.basename(path or "stdin")
-    for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz", ".Z"):
+    for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz", ".Z", ".lz", ".br"):
         if name.endswith(ext):
             name = name[: -len(ext)]
     return atype, {name: codec.decompress(data)}, None

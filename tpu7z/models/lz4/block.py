@@ -391,6 +391,62 @@ def compress_block(src, accel: int = 1, hashlog: int = 16,
     return _emit_sequences(s, m_sel, vm[m_sel], voff[m_sel])
 
 
+def compress_block_continuation(chunk, window, hashlog: int = 16) -> bytes:
+    """Greedy LZ4 compression of `chunk` with `window` (up to the
+    preceding 64KB of already-encoded data) as match history — the
+    linked-blocks mode of the frame format (C/lz4/lz4frame.c blockMode
+    LZ4F_blockLinked). Matches may reach back into the window; output
+    encodes only `chunk`."""
+    w = np.frombuffer(bytes(window), dtype=np.uint8)
+    c = np.frombuffer(bytes(chunk), dtype=np.uint8)
+    if c.size == 0:
+        return b"\x00"
+    s = np.concatenate([w, c])
+    w0 = w.size
+    n = s.size
+    if c.size < MF_LIMIT + 1:
+        return _emit_sequences_from(s, w0, np.empty(0, np.int64),
+                                    np.empty(0, np.int64),
+                                    np.empty(0, np.int64))
+
+    cand = _find_candidates(s, hashlog=hashlog)
+    pos_all = np.arange(cand.size, dtype=np.int64)
+    offset = pos_all - cand
+    valid = ((cand >= 0) & (offset <= MAX_OFFSET)
+             & (pos_all >= w0) & (pos_all <= n - MF_LIMIT - 1))
+
+    limit = np.zeros(cand.size, dtype=np.int64)
+    limit[valid] = (n - LAST_LITERALS) - pos_all[valid]
+    mlen = np.zeros(cand.size, dtype=np.int64)
+    vidx = np.where(valid)[0]
+    if vidx.size:
+        mlen[vidx] = _match_lengths(s, pos_all[vidx], cand[vidx],
+                                    limit[vidx])
+    valid &= mlen >= MIN_MATCH
+
+    next_pos = np.where(valid, pos_all + mlen, pos_all + 1)
+    full_next = np.full(n, n, dtype=np.int64)
+    full_next[: next_pos.size] = next_pos
+    # walk from w0 instead of 0: shift the jump table into chunk space
+    visited = _greedy_parse(
+        np.concatenate([full_next[w0:] - w0,
+                        np.full(w0, n - w0, np.int64)]), n - w0) + w0
+    is_match = np.zeros(n, dtype=bool)
+    vm = np.zeros(n, dtype=np.int64)
+    voff = np.zeros(n, dtype=np.int64)
+    is_match[: valid.size] = valid
+    vm[: mlen.size] = mlen
+    voff[: offset.size] = offset
+    m_sel = visited[is_match[visited]]
+    return _emit_sequences_from(s, w0, m_sel, vm[m_sel], voff[m_sel])
+
+
+def _emit_sequences_from(s: np.ndarray, w0: int, mpos, mlen, moff) -> bytes:
+    """_emit_sequences with literals starting at s[w0] (window prefix
+    excluded from the output)."""
+    return _emit_sequences(s[w0:], mpos - w0, mlen, moff)
+
+
 def merge_adjacent_matches(mpos: np.ndarray, mlen: np.ndarray,
                            moff: np.ndarray):
     """Merge chains of matches where one ends exactly where the next

@@ -51,14 +51,12 @@ def compress_frame(data: bytes, block_size: int = 1 << 22,
     Blocks are independent by default, which is what makes the frame
     shardable across a device mesh (each block = one parallel unit).
     """
-    if not block_independence:
-        raise NotImplementedError("linked blocks not yet supported")
     bd_code = _pick_bd(block_size)
     bsize = min(block_size, _BD_SIZES[bd_code])
 
     out = bytearray()
     out += MAGIC.to_bytes(4, "little")
-    flg = (1 << 6) | (1 << 5)  # version 01, block independence
+    flg = (1 << 6) | ((1 << 5) if block_independence else 0)
     if block_checksum:
         flg |= 1 << 4
     if content_size:
@@ -73,7 +71,11 @@ def compress_frame(data: bytes, block_size: int = 1 << 22,
 
     for start in range(0, len(data), bsize):
         chunk = data[start:start + bsize]
-        comp = lz4block.compress_block(chunk, accel=accel)
+        if block_independence or start == 0:
+            comp = lz4block.compress_block(chunk, accel=accel)
+        else:
+            window = data[max(start - 65536, 0):start]
+            comp = lz4block.compress_block_continuation(chunk, window)
         if len(comp) >= len(chunk):
             out += (len(chunk) | 0x80000000).to_bytes(4, "little")
             payload = chunk

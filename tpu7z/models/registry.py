@@ -169,7 +169,20 @@ def _z_d(data, **kw):
     return z_lzw.decompress(data)
 
 
+def _lzip_c(data, level=5, **kw):
+    from ..containers import lzip
+    return lzip.compress(data)
+
+
+def _lzip_d(data, **kw):
+    from ..containers import lzip
+    return lzip.decompress(data)
+
+
 _register("brotli", 0x4F71102, _brotli_c, _brotli_d, (0, 11))
+# lzip is a container-level format like xz/gzip (decode support in the
+# reference is the fork's LzHandler patch, README.md:147)
+_register("lzip", 0, _lzip_c, _lzip_d, (1, 9))
 _register("z", 0x30500, _z_c, _z_d, (9, 16))
 _register("lz5", 0x4F71105, _lz5_c, _lz5_d, (1, 15))
 _register("lizard", 0x4F71106, _lizard_c, _lizard_d, (10, 49))

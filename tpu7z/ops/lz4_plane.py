@@ -1,0 +1,497 @@
+"""Plane math for the fused LZ4 device encoder.
+
+Pure-jnp functions over fixed-shape int32 planes, written so that every
+operation lowers to a fast Mosaic construct: static lane/sublane shifts,
+elementwise select, in-row rolls, `fori_loop` with small carries, and a
+couple of one-hot matmuls. NO gathers, NO scatters, NO per-iteration
+dynamic slicing (measured pathological on the target — docs/PERFORMANCE.md).
+
+These functions are the single source of truth for the kernel: the
+Pallas kernel body (ops/lz4_pallas.py) composes them on VMEM values, and
+the unit tests run them directly (CPU jnp) against the bit-exact numpy
+twin (ops/lz4_twin2.py). Behavioral reference: C/lz4/lz4.c
+LZ4_compress_generic (format), redesigned as data-parallel phases — see
+the twin's module docstring for the phase map.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+MIN_MATCH = 4
+ROW = 128
+NROWS = 512
+BLOCK = ROW * NROWS
+W_DEFAULT = 512
+TAIL_GUARD = 12
+END_LITERALS = 5
+LONG_LIT = 270
+SEG0 = 8
+
+# core capacity: content <= 1.25*BLOCK + 6; pad to row multiple
+CORE_ROWS = 672                      # 672*128 = 86016 >= 81926
+CORE_CAP = CORE_ROWS * ROW
+# output capacity: core + total 255-run bytes (<= sum L/255 <= 257)
+OUT_ROWS = CORE_ROWS + 4
+OUT_CAP = OUT_ROWS * ROW
+
+
+def _i32(x):
+    return x.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# flat shifts over (NROWS, ROW) planes
+# ---------------------------------------------------------------------------
+
+def row_shift_up(x, kr):
+    """out[r] = x[r+kr] (zero rows at the end)."""
+    if kr == 0:
+        return x
+    if kr >= x.shape[0]:
+        return jnp.zeros_like(x)
+    pad = jnp.zeros((kr, x.shape[1]), x.dtype)
+    return jnp.concatenate([x[kr:], pad], axis=0)
+
+
+def row_shift_down(x, kr):
+    if kr == 0:
+        return x
+    if kr >= x.shape[0]:
+        return jnp.zeros_like(x)
+    pad = jnp.zeros((kr, x.shape[1]), x.dtype)
+    return jnp.concatenate([pad, x[:-kr]], axis=0)
+
+
+def shiftl_flat(x, k):
+    """Flat left shift on a 2D plane: out.flat[i] = x.flat[i+k], zero fill."""
+    R, C = x.shape
+    kr, kl = k // C, k % C
+    a = row_shift_up(x, kr)
+    if kl == 0:
+        return a
+    b = row_shift_up(a, 1)
+    return jnp.concatenate([a[:, kl:], b[:, :kl]], axis=1)
+
+
+def shiftr_flat(x, k):
+    """Flat right shift: out.flat[i] = x.flat[i-k], zero fill."""
+    R, C = x.shape
+    kr, kl = k // C, k % C
+    a = row_shift_down(x, kr)
+    if kl == 0:
+        return a
+    b = row_shift_down(a, 1)
+    return jnp.concatenate([b[:, C - kl:], a[:, :C - kl]], axis=1)
+
+
+def prefix_sum_excl_flat(x):
+    """Exclusive flat prefix sum over a 2D int32 plane (log-doubling:
+    in-row scan then row-carry broadcast)."""
+    R, C = x.shape
+    acc = x
+    step = 1
+    while step < C:
+        sh = jnp.concatenate(
+            [jnp.zeros((R, step), x.dtype), acc[:, :-step]], axis=1)
+        acc = acc + sh
+        step *= 2
+    row_tot = acc[:, -1:]                      # inclusive row sums (R,1)
+    carry = row_tot
+    step = 1
+    while step < R:
+        sh = jnp.concatenate(
+            [jnp.zeros((step, 1), x.dtype), carry[:-step]], axis=0)
+        carry = carry + sh
+        step *= 2
+    carry_excl = carry - row_tot               # rows before r
+    return acc + carry_excl - x
+
+
+def suffix_max_flat(x):
+    """Inclusive flat suffix max (values >= 0; zero fill is neutral)."""
+    R, C = x.shape
+    acc = x
+    step = 1
+    total = R * C
+    while step < total:
+        acc = jnp.maximum(acc, shiftl_flat(acc, step))
+        step *= 2
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# phases
+# ---------------------------------------------------------------------------
+
+def phase0_words(block):
+    """block: (NROWS, ROW) int32 bytes -> u32 words (as int32 bit pattern)."""
+    u = block
+    w = (u
+         | (shiftl_flat(u, 1) << 8)
+         | (shiftl_flat(u, 2) << 16)
+         | (shiftl_flat(u, 3) << 24))
+    return w
+
+
+def phase1_nearest_offset(v, n, W):
+    """so[p] = nearest o in 1..W with v[p-o] == v[p], else 0.
+
+    fori_loop: carry (so, vsh); per step one flat right-shift by 1.
+    """
+    pos = _pos_plane()
+
+    def body(o, carry):
+        so, vsh = carry
+        vsh = shiftr_flat(vsh, 1)
+        eq = (vsh == v) & (pos >= o)
+        so = jnp.where((so == 0) & eq, o, so)
+        return so, vsh
+
+    so0 = jnp.zeros_like(v)
+    so, _ = jax.lax.fori_loop(1, W + 1, body, (so0, v))
+    return jnp.where(pos < jnp.maximum(n - TAIL_GUARD, 0), so, 0)
+
+
+def _pos_plane():
+    r = jax.lax.broadcasted_iota(jnp.int32, (NROWS, ROW), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (NROWS, ROW), 1)
+    return r * ROW + c
+
+
+def suffix_run_flat(flag, cap):
+    """run[i] = consecutive nonzero count at i.. (capped), log-doubling."""
+    run = _i32(flag)
+    step = 1
+    while step < cap:
+        sh = shiftl_flat(run, step)
+        run = jnp.where(run == step,
+                        run + jnp.minimum(sh, cap - step), run)
+        step *= 2
+    return jnp.minimum(run, cap)
+
+
+def phase2_lengths(so, n):
+    pos = _pos_plane()
+    sov = so > 0
+    diag = sov & (shiftl_flat(so, 1) == so)
+    srun = suffix_run_flat(diag, BLOCK)
+    mlen = jnp.where(sov, srun + MIN_MATCH, 0)
+
+    limit = jnp.maximum(n - END_LITERALS - pos, 0)
+    mlen = jnp.minimum(mlen, limit)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NROWS, ROW), 1)
+    mlen = jnp.minimum(mlen, ROW - lane)
+    ok = (mlen >= MIN_MATCH) & (pos < jnp.maximum(n - TAIL_GUARD, 0)) & sov
+    mlen = jnp.where(ok, mlen, 0)
+    moff = jnp.where(ok, so, 0)
+    return mlen, moff
+
+
+def phase3_parse(mlen):
+    """is_start plane: 128-step cursor scan, one cursor lane per row."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NROWS, ROW), 1)
+
+    def body(_, carry):
+        c, is_start = carry               # c: (NROWS, 1)
+        oh = lane == jnp.minimum(c, ROW - 1)
+        cur = jnp.sum(mlen * oh, axis=1, keepdims=True)   # (NROWS,1)
+        take = (c < ROW) & (cur >= MIN_MATCH)
+        is_start = is_start | (oh & take)
+        c = jnp.where(take, c + cur, c + 1)
+        return c, is_start
+
+    c0 = jnp.zeros((NROWS, 1), jnp.int32)
+    st0 = jnp.zeros((NROWS, ROW), bool)
+    _, is_start = jax.lax.fori_loop(0, ROW, body, (c0, st0))
+    return is_start
+
+
+def phase4_geometry(mlen, moff, is_start, n):
+    pos = _pos_plane()
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NROWS, ROW), 1)
+    in_range = pos < n
+    mstart = is_start & in_range
+
+    # covered: in-row running max of reach (matches are row-capped)
+    reach = jnp.where(mstart, lane + mlen, 0)   # row-local reach
+    acc = reach
+    step = 1
+    while step < ROW:
+        sh = jnp.concatenate(
+            [jnp.zeros((NROWS, step), jnp.int32), acc[:, :-step]], axis=1)
+        acc = jnp.maximum(acc, sh)
+        step *= 2
+    covered = (lane < acc) & in_range
+    kept = in_range & ~covered
+
+    prev_cov = shiftr_flat(_i32(covered), 1) > 0
+    anchor = in_range & ((pos == 0) | (prev_cov & (mstart | ~covered)))
+
+    # next match start + its mlc nibble via one suffix-max of encoded
+    # (BLOCK - pos) * 16 + nib  (bigger = earlier; zero fill neutral)
+    mlc = jnp.where(mstart, mlen - MIN_MATCH, 0)
+    nib = jnp.minimum(mlc, 15)
+    enc = jnp.where(mstart, (BLOCK - pos) * 16 + nib, 0)
+    best = suffix_max_flat(enc)
+    has_next = best > 0
+    next_start = jnp.where(has_next, BLOCK - (best >> 4), n)
+    next_start = jnp.minimum(next_start, n)
+    next_nib = jnp.where(has_next, best & 15, 0)
+
+    L = jnp.where(anchor, next_start - pos, 0)
+    has_ext = anchor & (L >= 15)
+    e = jnp.where(has_ext, (L - 15) // 255 + 1, 0)
+    gap255 = jnp.maximum(e - 1, 0)
+    litrem = jnp.where(has_ext, (L - 15) % 255, 0)
+    long_run = anchor & (L >= LONG_LIT)
+
+    ml_ext = mstart & (mlc >= 15)
+    token = jnp.where(anchor, (jnp.minimum(L, 15) << 4) | next_nib, 0)
+
+    injH_core = jnp.where(anchor, 1 + jnp.minimum(e, 1), 0)
+    injT = jnp.where(mstart, 2 + _i32(ml_ext), 0)
+    glen = jnp.where(in_range, _i32(kept) + injH_core + injT, 0)
+
+    core_pos = prefix_sum_excl_flat(glen)
+    core_used = (core_pos[NROWS - 1, ROW - 1]
+                 + glen[NROWS - 1, ROW - 1])
+
+    gap_here = jnp.where(long_run, gap255, 0)
+    gap_before = prefix_sum_excl_flat(gap_here)
+    used = (core_used + gap_before[NROWS - 1, ROW - 1]
+            + gap_here[NROWS - 1, ROW - 1])
+
+    return dict(kept=kept, anchor=anchor, mstart=mstart, token=token,
+                litrem=litrem, e=e, gap255=gap255, long_run=long_run,
+                mlc=mlc, ml_ext=ml_ext, glen=glen, core_pos=core_pos,
+                core_used=core_used, gap_here=gap_here,
+                gap_before=gap_before, used=used)
+
+
+# ---------------------------------------------------------------------------
+# phase 5: hierarchical core compaction
+# ---------------------------------------------------------------------------
+
+def _level_width(k):
+    """Physical width for segments of 2**k positions (content bound is
+    1.25 * 2**k + 6)."""
+    need = 2 * (1 << k) + 8
+    if need <= 128:
+        return ((need + 7) // 8) * 8
+    return ((need + 127) // 128) * 128
+
+
+def _shift_left_lanes(x, v):
+    """Static left shift along axis 1 by v, zero fill."""
+    if v == 0:
+        return x
+    R, C = x.shape
+    if v >= C:
+        return jnp.zeros_like(x)
+    return jnp.concatenate([x[:, v:], jnp.zeros((R, v), x.dtype)], axis=1)
+
+
+def _merge_select(merged, llen, w, max_llen):
+    """Variant-select merge for small widths: right half (lanes >= w)
+    shifts left by (w - llen). Cost: one static shift + select per
+    distinct llen value."""
+    R, C = merged.shape        # C == 2*w
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    right_only = jnp.where(lane >= w, merged, 0)
+    out = jnp.where(lane < w, merged, 0)
+    acc = jnp.zeros_like(merged)
+    for ll in range(0, min(max_llen, w) + 1):
+        cand = _shift_left_lanes(right_only, w - ll)
+        acc = jnp.where(llen == ll, cand, acc)
+    return out + acc
+
+
+def _merge_barrel(merged, llen, w):
+    """Barrel merge for large widths: shift right half left by v = w-llen
+    using power-of-two static shifts selected per row."""
+    R, C = merged.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    right_only = jnp.where(lane >= w, merged, 0)
+    out = jnp.where(lane < w, merged, 0)
+    v = w - llen               # (R,1), in [0, w]
+    acc = right_only
+    bit = 1
+    while bit <= w:
+        sh = _shift_left_lanes(acc, bit)
+        acc = jnp.where((v & bit) > 0, sh, acc)
+        bit *= 2
+    return out + acc
+
+
+def phase5_core(block, moff, geo):
+    """Build level-0 segments and merge log2(BLOCK) levels.
+
+    Returns core plane (CORE_ROWS, ROW) int32 (one byte per element).
+    """
+    kept = geo["kept"]
+    anchor = geo["anchor"]
+    mstart = geo["mstart"]
+    e = geo["e"]
+
+    has_rem = anchor & (e >= 1)
+    lit_off = jnp.where(anchor, 1 + jnp.minimum(e, 1), 0)
+    t_off = lit_off + _i32(kept)
+
+    # level-0 content as 8 slot planes -> (BLOCK, 8) via stack+reshape
+    slots = []
+    for s in range(SEG0):
+        val = jnp.zeros((NROWS, ROW), jnp.int32)
+        val = jnp.where(anchor & (s == 0), geo["token"], val)
+        val = jnp.where(has_rem & (s == 1), geo["litrem"], val)
+        val = jnp.where(kept & (lit_off == s), block, val)
+        val = jnp.where(mstart & (t_off == s), moff & 0xFF, val)
+        val = jnp.where(mstart & (t_off + 1 == s), moff >> 8, val)
+        val = jnp.where(geo["ml_ext"] & (t_off + 2 == s),
+                        geo["mlc"] - 15, val)
+        slots.append(val)
+    seg = jnp.stack(slots, axis=-1).reshape(BLOCK, SEG0)
+    lens = geo["glen"].reshape(BLOCK, 1)
+
+    content = seg
+    nseg = BLOCK
+    k = 0
+    while nseg > 1:
+        S, w = content.shape
+        merged = content.reshape(S // 2, 2 * w)
+        lpair = lens.reshape(S // 2, 2)
+        llen = lpair[:, 0:1]
+        rlen = lpair[:, 1:2]
+        max_llen = min(w, (5 * (1 << k)) // 4 + 6)
+        if 2 * w <= 64:
+            out = _merge_select(merged, llen, w, max_llen)
+        else:
+            out = _merge_barrel(merged, llen, w)
+        k += 1
+        nseg //= 2
+        wk = _level_width(k) if nseg > 1 else CORE_CAP
+        if wk < out.shape[1]:
+            out = out[:, :wk]
+        elif wk > out.shape[1]:
+            out = jnp.concatenate(
+                [out, jnp.zeros((out.shape[0], wk - out.shape[1]),
+                                out.dtype)], axis=1)
+        content = out
+        lens = llen + rlen
+    return content.reshape(CORE_ROWS, ROW)
+
+
+# ---------------------------------------------------------------------------
+# phase 6: gap expansion
+# ---------------------------------------------------------------------------
+
+def _roll_lanes(x, k):
+    """Cyclic roll along axis 1 by k (left: lane c <- lane c+k)."""
+    if k % x.shape[1] == 0:
+        return x
+    k = k % x.shape[1]
+    return jnp.concatenate([x[:, k:], x[:, :k]], axis=1)
+
+
+def _barrel_roll_rows(x, amt):
+    """Per-row cyclic left roll along lanes by amt (R,1) in [0, ROW)."""
+    acc = x
+    bit = 1
+    while bit < ROW:
+        rolled = _roll_lanes(acc, bit)
+        acc = jnp.where((amt & bit) > 0, rolled, acc)
+        bit *= 2
+    return acc
+
+
+def phase6_expand(core, geo):
+    """Insert 255-run gaps. Returns (out plane (OUT_ROWS, ROW), used).
+
+    Per source row there is at most one long-run anchor (runs >= 270
+    bytes apart); per output row at most one gap intersects.
+    """
+    # per-source-row gap summaries (NROWS,1)
+    lr = geo["long_run"]
+    has_g = jnp.any(lr, axis=1, keepdims=True)                    # (R,1)
+    g_start = jnp.max(jnp.where(lr, geo["core_pos"] + 1 + geo["gap_before"],
+                                0), axis=1, keepdims=True)        # output coord
+    g_len = jnp.max(jnp.where(lr, geo["gap255"], 0), axis=1, keepdims=True)
+    s_pre = jnp.max(jnp.where(lr, geo["gap_before"], 0), axis=1,
+                    keepdims=True)
+    g_start = jnp.where(has_g, g_start, jnp.int32(1 << 30))
+    g_end = jnp.where(has_g, g_start + g_len, jnp.int32(1 << 30))
+    s_post = jnp.where(has_g, s_pre + g_len, 0)
+
+    # per-output-row prevailing shift and intersecting gap:
+    #   s_row_pre(r): gap_before sum of all gaps ending <= row start --
+    #   equivalently s_post of the latest gap with g_end <= 128*r, i.e.
+    #   max over source rows of s_post * (g_end <= row_start); shifts
+    #   are non-decreasing so max == latest.
+    rowstart = (jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, 1), 0)
+                * ROW)                                            # (OR,1)
+    ge_b = jnp.transpose(g_end)                                   # (1,R)
+    gs_b = jnp.transpose(g_start)
+    sp_b = jnp.transpose(s_post)
+    spre_b = jnp.transpose(s_pre)
+    glen_b = jnp.transpose(g_len)
+
+    done = ge_b <= rowstart                                       # (OR,R)
+    s_base = jnp.max(jnp.where(done, sp_b, 0), axis=1, keepdims=True)
+    # gap intersecting this row: gs < rowend and ge > rowstart
+    inter = (gs_b < rowstart + ROW) & (ge_b > rowstart)
+    row_gs = jnp.max(jnp.where(inter, gs_b, -1), axis=1, keepdims=True)
+    row_ge = jnp.max(jnp.where(inter, ge_b, -1), axis=1, keepdims=True)
+    row_spre = jnp.max(jnp.where(inter, spre_b, 0), axis=1, keepdims=True)
+    row_spost = jnp.max(jnp.where(inter, sp_b, 0), axis=1, keepdims=True)
+    has_inter = jnp.any(inter, axis=1, keepdims=True)
+    # shift for pre-gap bytes of the row / post-gap bytes
+    sA = jnp.where(has_inter, row_spre, s_base)
+    sB = jnp.where(has_inter, row_spost, s_base)
+
+    out = jnp.zeros((OUT_ROWS, ROW), jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, ROW), 1)
+    q = rowstart + lane
+
+    def gather_rows(shift):
+        """M[r] = core bytes at flat positions rowstart + lane - shift."""
+        src = rowstart - shift                                    # (OR,1)
+        cr = src // ROW
+        a = src - cr * ROW                                        # 0..127
+        # one-hot row gathers via MXU
+        crow = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, CORE_ROWS), 1)
+        R1 = (crow == cr).astype(jnp.float32)
+        R2 = (crow == cr + 1).astype(jnp.float32)
+        cf = core.astype(jnp.float32)
+        G1 = jnp.dot(R1, cf, preferred_element_type=jnp.float32)
+        G2 = jnp.dot(R2, cf, preferred_element_type=jnp.float32)
+        G1 = G1.astype(jnp.int32)
+        G2 = G2.astype(jnp.int32)
+        r1 = _barrel_roll_rows(G1, a)
+        r2 = _barrel_roll_rows(G2, a)
+        return jnp.where(lane < ROW - a, r1, r2)
+
+    MA = gather_rows(sA)
+    MB = gather_rows(sB)
+    in_gap = has_inter & (q >= row_gs) & (q < row_ge)
+    pre = q < jnp.where(has_inter, row_gs, jnp.int32(1 << 30))
+    out = jnp.where(pre, MA, jnp.where(in_gap, 255, MB))
+    used = geo["used"]
+    out = jnp.where(q < used, out, 0)
+    return out, used
+
+
+# ---------------------------------------------------------------------------
+
+def encode_block_planes(block, n, W=W_DEFAULT):
+    """Full pipeline on (NROWS, ROW) int32 byte plane.
+
+    Returns (out plane (OUT_ROWS, ROW) int32 bytes, used scalar int32).
+    """
+    v = phase0_words(block)
+    so = phase1_nearest_offset(v, n, W)
+    mlen, moff = phase2_lengths(so, n)
+    is_start = phase3_parse(mlen)
+    geo = phase4_geometry(mlen, moff, is_start, n)
+    core = phase5_core(block, moff, geo)
+    return phase6_expand(core, geo)
