@@ -284,13 +284,47 @@ def cmd_extract(opts: Options, args, test_only=False):
             sys.stdout.buffer.write(content)
         return 0
     os.makedirs(opts.outdir, exist_ok=True)
+    meta = _file_metadata(atype, _rd)
     for name, content in files.items():
         dst = os.path.join(opts.outdir, name.replace("\\", "/"))
         os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
         with open(dst, "wb") as f:
             f.write(content)
+        m = meta.get(name)
+        if m:
+            mtime, mode = m
+            if mode is not None:
+                try:
+                    os.chmod(dst, mode & 0o7777)
+                except OSError:
+                    pass
+            if mtime is not None:
+                try:
+                    os.utime(dst, (mtime, mtime))
+                except OSError:
+                    pass
         print(f"extracted {name} ({len(content)} bytes)")
     return 0
+
+
+_FILETIME_EPOCH = 11644473600  # seconds between 1601 and 1970
+
+
+def _file_metadata(atype, rd):
+    """name -> (mtime unix seconds | None, posix mode | None). Mirrors
+    the reference's SetFileAttrib/NTFS-time handling on extract
+    (CPP/7zip/UI/Common/ArchiveExtractCallback.cpp)."""
+    meta = {}
+    if atype == "7z" and rd is not None:
+        for fe in getattr(rd, "files", []):
+            mtime = None
+            mode = None
+            if fe.mtime:
+                mtime = fe.mtime / 10_000_000 - _FILETIME_EPOCH
+            if fe.attrib is not None and fe.attrib & 0x8000:
+                mode = (fe.attrib >> 16) & 0xFFFF  # unix extension bit
+            meta[fe.name] = (mtime, mode)
+    return meta
 
 
 def cmd_list(opts: Options, args):
