@@ -208,6 +208,8 @@ def cmd_add(opts: Options, args):
         kw = {}
         if "wlog" in opts.props:
             kw["window_log"] = int(opts.props["wlog"])
+        if opts.threads and codec.name == "zstd":
+            kw["threads"] = opts.threads
         out = codec.compress(data, level=opts.level or 5, **kw)
     if opts.stdout:
         sys.stdout.buffer.write(out)

@@ -257,14 +257,23 @@ def decompress(src: bytes, verify_checksum: bool = True,
 
 
 def compress(data: bytes, level: int = 3, use_native: bool = True,
-             **kw) -> bytes:
+             threads: int | None = None, **kw) -> bytes:
     """One-shot zstd compression. Host tier: the native C++ encoder
-    (tpu7z/native/src/zstd_enc.cpp); fallback / use_native=False: the
-    data-parallel numpy twin (compressor.py)."""
+    (tpu7z/native/src/zstd_enc.cpp); threads > 1 uses the zstdmt-style
+    overlap-prefix job model (parallel/zstd_jobs.py) producing ONE frame
+    whose bytes do not depend on the worker count; fallback /
+    use_native=False: the data-parallel numpy twin (compressor.py)."""
     if use_native and not kw:
         from ... import native as _native
+        if threads and threads > 1:
+            from ...parallel import zstd_jobs
+            c = zstd_jobs.compress_sharded(bytes(data), level=level,
+                                           workers=threads)
+            if c is not None:
+                return c
         c = _native.zstd_encode(bytes(data), level=level)
         if c is not None:
             return c
+    kw.pop("threads", None)
     from .compressor import compress as _impl
     return _impl(data, level=level, **kw)

@@ -69,6 +69,14 @@ def _load():
     except AttributeError:
         pass  # stale .so without the zstd encoder; callers fall back
     try:
+        lib.tz_zstd_encode_job.restype = ctypes.c_longlong
+        lib.tz_zstd_encode_job.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_uint64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_size_t]
+    except AttributeError:
+        pass
+    try:
         lib.tz_zstd_decode.restype = ctypes.c_longlong
         lib.tz_zstd_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,

@@ -1127,35 +1127,30 @@ static void parse_block_optimal(const uint8_t* src, size_t n,
 }  // namespace
 
 // ------------------------------------------------------------- driver ---
-extern "C" long long tz_zstd_encode(const uint8_t* src, size_t n,
-                                    uint8_t* dst, size_t cap,
-                                    int level, int checksum) {
-    std::vector<uint8_t> out;
-    out.reserve(n / 2 + 1024);
-    // frame header: single-segment + FCS (frame.py write_frame_header)
-    uint32_t magic = 0xFD2FB528u;
-    for (int b = 0; b < 4; b++) out.push_back((magic >> (8 * b)) & 0xFF);
+
+// Encode blocks covering [start, n) of src as a zstd block stream into
+// `out`. Positions [0, start) act as a window prefix: the match finder
+// indexes them but no block is emitted for them — the zstdmt job model
+// (C/zstd/zstdmt_compress.c:693-760: overlap prefix as rawContent dict,
+// repcodes reset per job). The final block's `last` flag is set only
+// when `final_last` (intermediate jobs of a sharded frame pass false).
+static void encode_blocks_region(const uint8_t* src, size_t n,
+                                 size_t start, int level, bool final_last,
+                                 std::vector<uint8_t>& out) {
     {
-        int fcs_flag, fcs_bytes;
-        if (n < 256) { fcs_flag = 0; fcs_bytes = 1; }
-        else if (n <= 0xFFFFull + 256) { fcs_flag = 1; fcs_bytes = 2; }
-        else if (n <= 0xFFFFFFFFull) { fcs_flag = 2; fcs_bytes = 4; }
-        else { fcs_flag = 3; fcs_bytes = 8; }
-        uint8_t fhd = uint8_t((fcs_flag << 6) | (1 << 5) |
-                              (checksum ? (1 << 2) : 0));
-        out.push_back(fhd);
-        uint64_t fcs = n;
-        if (fcs_flag == 1) fcs -= 256;
-        for (int b = 0; b < fcs_bytes; b++)
-            out.push_back((fcs >> (8 * b)) & 0xFF);
-    }
-    if (n == 0) {
-        out.push_back(0x01); out.push_back(0x00); out.push_back(0x00);
-    } else {
         Params P = level_params(level, n);
         Matcher M;
         M.init(src, n, P.hash_log);
         Rep rep;
+        if (start > 0) {
+            // continuation job: the decoder's repcode history at this
+            // point is unknown to us — invalidate (ZSTD_invalidateRepCodes
+            // semantics, zstdmt_compress.c): zeroed slots are never
+            // probed or emitted; slots repopulate as offsets are pushed,
+            // identically on both sides.
+            rep.r0 = rep.r1 = rep.r2 = 0;
+        }
+        size_t first_block = start / kBlockSize;
         size_t nblocks = (n + kBlockSize - 1) / kBlockSize;
         std::vector<Seq> seqs;
         std::vector<uint8_t> lits, body;
@@ -1168,11 +1163,11 @@ extern "C" long long tz_zstd_encode(const uint8_t* src, size_t n,
             for (size_t j = next_ins; j < lim; j += step) M.insert(j);
             next_ins = std::max(next_ins, k);
         };
-        for (size_t b = 0; b < nblocks; b++) {
+        for (size_t b = first_block; b < nblocks; b++) {
             size_t bs = b * kBlockSize;
             size_t be = std::min(bs + kBlockSize, n);
             size_t blen = be - bs;
-            int lastf = (b == nblocks - 1) ? 1 : 0;
+            int lastf = (b == nblocks - 1 && final_last) ? 1 : 0;
             // RLE block?
             bool uni = blen >= 8;
             for (size_t i = bs + 1; uni && i < be; i++)
@@ -1205,7 +1200,7 @@ extern "C" long long tz_zstd_encode(const uint8_t* src, size_t n,
             size_t i = bs;
             const size_t limit8 = be >= 8 ? be - 8 : 0;
             auto rep_probe = [&](size_t p, uint32_t r0) -> size_t {
-                if (p < r0 || p + 3 > be) return 0;
+                if (r0 == 0 || p < r0 || p + 3 > be) return 0;
                 const uint8_t* a = src + p;
                 const uint8_t* bb = a - r0;
                 if (a[0] != bb[0] || a[1] != bb[1] || a[2] != bb[2])
@@ -1290,10 +1285,63 @@ extern "C" long long tz_zstd_encode(const uint8_t* src, size_t n,
             }
         }
     }
+}
+
+static void write_frame_header(std::vector<uint8_t>& out, uint64_t n,
+                               int checksum) {
+    // single-segment + FCS (frame.py write_frame_header)
+    uint32_t magic = 0xFD2FB528u;
+    for (int b = 0; b < 4; b++) out.push_back((magic >> (8 * b)) & 0xFF);
+    int fcs_flag, fcs_bytes;
+    if (n < 256) { fcs_flag = 0; fcs_bytes = 1; }
+    else if (n <= 0xFFFFull + 256) { fcs_flag = 1; fcs_bytes = 2; }
+    else if (n <= 0xFFFFFFFFull) { fcs_flag = 2; fcs_bytes = 4; }
+    else { fcs_flag = 3; fcs_bytes = 8; }
+    uint8_t fhd = uint8_t((fcs_flag << 6) | (1 << 5) |
+                          (checksum ? (1 << 2) : 0));
+    out.push_back(fhd);
+    uint64_t fcs = n;
+    if (fcs_flag == 1) fcs -= 256;
+    for (int b = 0; b < fcs_bytes; b++)
+        out.push_back((fcs >> (8 * b)) & 0xFF);
+}
+
+extern "C" long long tz_zstd_encode(const uint8_t* src, size_t n,
+                                    uint8_t* dst, size_t cap,
+                                    int level, int checksum) {
+    std::vector<uint8_t> out;
+    out.reserve(n / 2 + 1024);
+    write_frame_header(out, n, checksum);
+    if (n == 0) {
+        out.push_back(0x01); out.push_back(0x00); out.push_back(0x00);
+    } else {
+        encode_blocks_region(src, n, 0, level, true, out);
+    }
     if (checksum) {
         uint64_t x = tz_xxh64(src, n, 0);
         for (int b = 0; b < 4; b++) out.push_back((x >> (8 * b)) & 0xFF);
     }
+    if (out.size() > cap) return -1;
+    memcpy(dst, out.data(), out.size());
+    return (long long)out.size();
+}
+
+// One zstdmt-style job: src points at the job's window prefix; the job
+// emits blocks for [prefix_len, n). `kind`: 0 = middle job (no header,
+// no last flag), 1 = final job (last flag), 2 = first job (emits the
+// frame header for total_size, no last flag unless also final: 3).
+extern "C" long long tz_zstd_encode_job(const uint8_t* src, size_t n,
+                                        size_t prefix_len,
+                                        uint64_t total_size,
+                                        int level, int kind, int checksum,
+                                        uint8_t* dst, size_t cap) {
+    if (prefix_len % kBlockSize != 0 || prefix_len >= n)
+        return -2;
+    std::vector<uint8_t> out;
+    out.reserve((n - prefix_len) / 2 + 1024);
+    bool first = kind & 2, last = kind & 1;
+    if (first) write_frame_header(out, total_size, checksum);
+    encode_blocks_region(src, n, prefix_len, level, last, out);
     if (out.size() > cap) return -1;
     memcpy(dst, out.data(), out.size());
     return (long long)out.size();
