@@ -29,7 +29,7 @@ _EXT_TYPES = {
     ".a": "ar", ".ar": "ar", ".deb": "ar", ".lib": "ar", ".rpm": "rpm",
     ".iso": "iso", ".Z": "z", ".taz": "z", ".xar": "xar",
     ".pkg": "xar", ".lzh": "lzh", ".lha": "lzh", ".lz": "lzip",
-    ".tlz": "lzip",
+    ".tlz": "lzip", ".wim": "wim", ".swm": "wim",
 }
 
 
@@ -54,6 +54,8 @@ def _sniff_type(path: str, data: bytes | None = None) -> str:
             return "z"
         if data[:4] == b"LZIP":
             return "lzip"
+        if data[:8] == b"MSWIM\x00\x00\x00":
+            return "wim"
         if data[:4] == b"xar!":
             return "xar"
         if len(data) > 7 and data[2:5] == b"-lh" and data[6:7] == b"-":
@@ -199,6 +201,9 @@ def cmd_add(opts: Options, args):
     elif atype == "tar":
         from ..containers import tar as tarc
         out = tarc.write_tar(files)
+    elif atype == "wim":
+        from ..containers import wim
+        out = wim.write_wim(files)
     else:
         if len(files) > 1:
             raise TpuzError(f"-t{atype}: single-stream format, got "
@@ -254,6 +259,9 @@ def _open_archive(opts, path):
     if atype == "lzh":
         from ..containers import lzh
         return atype, lzh.read_lzh(data), None
+    if atype == "wim":
+        from ..containers import wim
+        return atype, wim.read_wim(data), None
     codec = get_codec(atype)
     name = os.path.basename(path or "stdin")
     for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz", ".Z", ".lz", ".br"):

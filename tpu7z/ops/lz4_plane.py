@@ -190,22 +190,26 @@ def phase2_lengths(so, n):
 
 
 def phase3_parse(mlen):
-    """is_start plane: 128-step cursor scan, one cursor lane per row."""
+    """is_start plane: 128-step cursor scan, one cursor lane per row.
+
+    Carries are int32 (the target's Mosaic lowering rejects bool loop
+    carries); the returned plane is bool.
+    """
     lane = jax.lax.broadcasted_iota(jnp.int32, (NROWS, ROW), 1)
 
     def body(_, carry):
-        c, is_start = carry               # c: (NROWS, 1)
+        c, is_start = carry               # c: (NROWS, 1) int32
         oh = lane == jnp.minimum(c, ROW - 1)
         cur = jnp.sum(mlen * oh, axis=1, keepdims=True)   # (NROWS,1)
         take = (c < ROW) & (cur >= MIN_MATCH)
-        is_start = is_start | (oh & take)
+        is_start = is_start | (_i32(oh & take))
         c = jnp.where(take, c + cur, c + 1)
         return c, is_start
 
     c0 = jnp.zeros((NROWS, 1), jnp.int32)
-    st0 = jnp.zeros((NROWS, ROW), bool)
+    st0 = jnp.zeros((NROWS, ROW), jnp.int32)
     _, is_start = jax.lax.fori_loop(0, ROW, body, (c0, st0))
-    return is_start
+    return is_start > 0
 
 
 def phase4_geometry(mlen, moff, is_start, n):
@@ -325,8 +329,34 @@ def _merge_barrel(merged, llen, w):
     return out + acc
 
 
+P8_ROWS = BLOCK * SEG0 // ROW      # 4096: packed plane rows
+
+
+def expand8(x):
+    """(NROWS, ROW) -> (P8_ROWS, ROW) with out.flat[f] = x.flat[f // 8].
+
+    One exact one-hot stretch matmul (values < 2**24 stay exact in f32)
+    plus a wide->tall reshape; both constructs are Mosaic-safe on the
+    target (docs/PERFORMANCE.md probe list).
+    """
+    j = jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW * SEG0), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (ROW, ROW * SEG0), 1)
+    S = (j == c // SEG0).astype(jnp.float32)
+    y = jnp.dot(x.astype(jnp.float32), S,
+                preferred_element_type=jnp.float32)   # (NROWS, ROW*8)
+    return y.astype(jnp.int32).reshape(P8_ROWS, ROW)
+
+
 def phase5_core(block, moff, geo):
-    """Build level-0 segments and merge log2(BLOCK) levels.
+    """Packed hierarchical compaction.
+
+    Level-0 segments are 8-lane fields of a flat (P8_ROWS, ROW) plane
+    (flat index = position * 8 + slot). Each merge level shifts every
+    right sibling left by (field_width - left_len) with pair-boundary
+    masked flat shifts — small levels via shift-variant select, large
+    levels via a bit barrel. The plane shape never changes (narrow 2D
+    shapes crash the target's Mosaic lowering), and after 16 levels the
+    core bytes sit at flat [0, core_used).
 
     Returns core plane (CORE_ROWS, ROW) int32 (one byte per element).
     """
@@ -339,8 +369,8 @@ def phase5_core(block, moff, geo):
     lit_off = jnp.where(anchor, 1 + jnp.minimum(e, 1), 0)
     t_off = lit_off + _i32(kept)
 
-    # level-0 content as 8 slot planes -> (BLOCK, 8) via stack+reshape
-    slots = []
+    # slot value planes in position space, then packed via expand8
+    slot_vals = []
     for s in range(SEG0):
         val = jnp.zeros((NROWS, ROW), jnp.int32)
         val = jnp.where(anchor & (s == 0), geo["token"], val)
@@ -350,36 +380,50 @@ def phase5_core(block, moff, geo):
         val = jnp.where(mstart & (t_off + 1 == s), moff >> 8, val)
         val = jnp.where(geo["ml_ext"] & (t_off + 2 == s),
                         geo["mlc"] - 15, val)
-        slots.append(val)
-    seg = jnp.stack(slots, axis=-1).reshape(BLOCK, SEG0)
-    lens = geo["glen"].reshape(BLOCK, 1)
+        slot_vals.append(val)
 
-    content = seg
-    nseg = BLOCK
-    k = 0
-    while nseg > 1:
-        S, w = content.shape
-        merged = content.reshape(S // 2, 2 * w)
-        lpair = lens.reshape(S // 2, 2)
-        llen = lpair[:, 0:1]
-        rlen = lpair[:, 1:2]
-        max_llen = min(w, (5 * (1 << k)) // 4 + 6)
-        if 2 * w <= 64:
-            out = _merge_select(merged, llen, w, max_llen)
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (P8_ROWS, ROW), 0) * ROW
+            + jax.lax.broadcasted_iota(jnp.int32, (P8_ROWS, ROW), 1))
+    slot_of = flat % SEG0
+    content = jnp.zeros((P8_ROWS, ROW), jnp.int32)
+    for s in range(SEG0):
+        content = jnp.where(slot_of == s, expand8(slot_vals[s]), content)
+    lens = expand8(geo["glen"])   # every lane of a field: its glen
+
+    for k in range(17):           # 2**17 * 8-lane groups... 16 merges
+        g = SEG0 << k             # group width before this merge
+        if g >= BLOCK * SEG0:
+            break
+        pw = 2 * g                # pair width
+        lp = flat % pw            # lane-in-pair
+        in_left = lp < g
+        llen = jnp.where(in_left, lens, shiftr_flat(lens, g))
+        rlen = jnp.where(in_left, shiftl_flat(lens, g), lens)
+        right_only = jnp.where(in_left, 0, content)
+        left_only = jnp.where(in_left, content, 0)
+        v = g - llen              # left shift for the right sibling
+        # content(2**k positions) <= 1.25*2**k + 12 (each match covers
+        # >= 4 positions per <= 5 injected bytes; <= 2 partial matches
+        # at the group ends)
+        max_llen = min(g, (5 << k) // 4 + 12)
+        nvars = max_llen + 1
+        if nvars <= 14:
+            acc = jnp.zeros_like(content)
+            for ll in range(nvars):
+                sh = shiftl_flat(right_only, g - ll)
+                sh = jnp.where(lp + (g - ll) < pw, sh, 0)
+                acc = jnp.where(llen == ll, sh, acc)
         else:
-            out = _merge_barrel(merged, llen, w)
-        k += 1
-        nseg //= 2
-        wk = _level_width(k) if nseg > 1 else CORE_CAP
-        if wk < out.shape[1]:
-            out = out[:, :wk]
-        elif wk > out.shape[1]:
-            out = jnp.concatenate(
-                [out, jnp.zeros((out.shape[0], wk - out.shape[1]),
-                                out.dtype)], axis=1)
-        content = out
+            acc = right_only
+            bit = 1
+            while bit <= g:
+                sh = shiftl_flat(acc, bit)
+                sh = jnp.where(lp + bit < pw, sh, 0)
+                acc = jnp.where((v & bit) > 0, sh, acc)
+                bit *= 2
+        content = left_only + acc
         lens = llen + rlen
-    return content.reshape(CORE_ROWS, ROW)
+    return content[:CORE_ROWS]
 
 
 # ---------------------------------------------------------------------------
