@@ -29,7 +29,7 @@ _EXT_TYPES = {
     ".a": "ar", ".ar": "ar", ".deb": "ar", ".lib": "ar", ".rpm": "rpm",
     ".iso": "iso", ".Z": "z", ".taz": "z", ".xar": "xar",
     ".pkg": "xar", ".lzh": "lzh", ".lha": "lzh", ".lz": "lzip",
-    ".tlz": "lzip", ".wim": "wim", ".swm": "wim",
+    ".tlz": "lzip", ".wim": "wim", ".swm": "wim", ".cab": "cab",
 }
 
 
@@ -56,6 +56,8 @@ def _sniff_type(path: str, data: bytes | None = None) -> str:
             return "lzip"
         if data[:8] == b"MSWIM\x00\x00\x00":
             return "wim"
+        if data[:4] == b"MSCF":
+            return "cab"
         if data[:4] == b"xar!":
             return "xar"
         if len(data) > 7 and data[2:5] == b"-lh" and data[6:7] == b"-":
@@ -204,6 +206,9 @@ def cmd_add(opts: Options, args):
     elif atype == "wim":
         from ..containers import wim
         out = wim.write_wim(files)
+    elif atype == "cab":
+        from ..containers import cab
+        out = cab.write_cab(files)
     else:
         if len(files) > 1:
             raise TpuzError(f"-t{atype}: single-stream format, got "
@@ -262,6 +267,9 @@ def _open_archive(opts, path):
     if atype == "wim":
         from ..containers import wim
         return atype, wim.read_wim(data), None
+    if atype == "cab":
+        from ..containers import cab
+        return atype, cab.read_cab(data), None
     codec = get_codec(atype)
     name = os.path.basename(path or "stdin")
     for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz", ".Z", ".lz", ".br"):

@@ -146,7 +146,11 @@ _FIXED_DIST_LEN = np.full(30, 5, dtype=np.int64)
 
 
 def decompress(src: bytes, max_out: int | None = None,
-               deflate64: bool = False) -> bytes:
+               deflate64: bool = False, history: bytes = b"") -> bytes:
+    """`history` primes the LZ77 window (raw deflate continuation, e.g.
+    CAB MSZIP blocks whose window persists across CFDATA records); the
+    returned bytes exclude it. `max_out` counts history + new output
+    when history is given (callers pass the sum)."""
     if deflate64:
         len_base, len_extra = LENGTH_BASE64, LENGTH_EXTRA64
         dist_base, dist_extra = DIST_BASE64, DIST_EXTRA64
@@ -156,7 +160,7 @@ def decompress(src: bytes, max_out: int | None = None,
         dist_base, dist_extra = DIST_BASE, DIST_EXTRA
         ndist = 30
     r = _LSBReader(src)
-    out = bytearray()
+    out = bytearray(history)
     while True:
         bfinal = r.read(1)
         btype = r.read(2)
@@ -234,7 +238,7 @@ def decompress(src: bytes, max_out: int | None = None,
             raise CorruptError("deflate: output limit exceeded")
         if bfinal:
             break
-    return bytes(out)
+    return bytes(out[len(history):])
 
 
 def _len_code(length: np.ndarray) -> np.ndarray:

@@ -87,8 +87,10 @@ def shiftr_flat(x, k):
 
 
 def prefix_sum_excl_flat(x):
-    """Exclusive flat prefix sum over a 2D int32 plane (log-doubling:
-    in-row scan then row-carry broadcast)."""
+    """Exclusive flat prefix sum over a 2D int32 plane (non-negative
+    values): in-row inclusive scan, then a full-lane row-carry pass.
+    All ops stay (R, C)-shaped — the target's Mosaic lowering crashes
+    on (R, 1)-shaped loops."""
     R, C = x.shape
     acc = x
     step = 1
@@ -97,16 +99,22 @@ def prefix_sum_excl_flat(x):
             [jnp.zeros((R, step), x.dtype), acc[:, :-step]], axis=1)
         acc = acc + sh
         step *= 2
-    row_tot = acc[:, -1:]                      # inclusive row sums (R,1)
-    carry = row_tot
+    # row totals broadcast to every lane: acc is non-decreasing in-row,
+    # so a lane roll-max tree yields the last lane everywhere
+    tot = acc
+    s = 1
+    while s < C:
+        rolled = jnp.concatenate([tot[:, s:], tot[:, :s]], axis=1)
+        tot = jnp.maximum(tot, rolled)
+        s *= 2
+    carry = tot
     step = 1
     while step < R:
         sh = jnp.concatenate(
-            [jnp.zeros((step, 1), x.dtype), carry[:-step]], axis=0)
+            [jnp.zeros((step, C), x.dtype), carry[:-step]], axis=0)
         carry = carry + sh
         step *= 2
-    carry_excl = carry - row_tot               # rows before r
-    return acc + carry_excl - x
+    return acc + (carry - tot) - x
 
 
 def suffix_max_flat(x):
@@ -438,8 +446,21 @@ def _roll_lanes(x, k):
     return jnp.concatenate([x[:, k:], x[:, :k]], axis=1)
 
 
+def _lane_bcast_max(x):
+    """Every lane becomes its row's max (cyclic roll-max tree; exact for
+    any width since max is idempotent). Values must be the quantity to
+    broadcast OR a neutral smaller value."""
+    C = x.shape[1]
+    s = 1
+    while s < C:
+        x = jnp.maximum(x, _roll_lanes(x, s))
+        s *= 2
+    return x
+
+
 def _barrel_roll_rows(x, amt):
-    """Per-row cyclic left roll along lanes by amt (R,1) in [0, ROW)."""
+    """Per-row cyclic left roll along lanes by amt (broadcast plane,
+    values in [0, ROW))."""
     acc = x
     bit = 1
     while bit < ROW:
@@ -449,76 +470,86 @@ def _barrel_roll_rows(x, amt):
     return acc
 
 
+def _widen(x, width):
+    """Broadcast a lane-uniform (R, ROW) plane to (R, width)."""
+    reps = -(-width // x.shape[1])
+    return jnp.concatenate([x] * reps, axis=1)[:, :width]
+
+
 def phase6_expand(core, geo):
     """Insert 255-run gaps. Returns (out plane (OUT_ROWS, ROW), used).
 
     Per source row there is at most one long-run anchor (runs >= 270
-    bytes apart); per output row at most one gap intersects.
+    bytes apart); per output row at most one gap intersects. All shapes
+    stay full-lane (the target rejects (R,1)-shaped loops); per-row
+    scalars live as lane-uniform broadcast planes, and the source-row ->
+    output-row change of axis happens through one transpose of
+    (NROWS, OUT_ROWS)-shaped broadcast planes.
     """
-    # per-source-row gap summaries (NROWS,1)
     lr = geo["long_run"]
-    has_g = jnp.any(lr, axis=1, keepdims=True)                    # (R,1)
-    g_start = jnp.max(jnp.where(lr, geo["core_pos"] + 1 + geo["gap_before"],
-                                0), axis=1, keepdims=True)        # output coord
-    g_len = jnp.max(jnp.where(lr, geo["gap255"], 0), axis=1, keepdims=True)
-    s_pre = jnp.max(jnp.where(lr, geo["gap_before"], 0), axis=1,
-                    keepdims=True)
-    g_start = jnp.where(has_g, g_start, jnp.int32(1 << 30))
-    g_end = jnp.where(has_g, g_start + g_len, jnp.int32(1 << 30))
+    lr_i = _i32(lr)
+    has_g = _lane_bcast_max(lr_i) > 0                       # (R, ROW)
+    g_start = _lane_bcast_max(
+        jnp.where(lr, geo["core_pos"] + 1 + geo["gap_before"], 0))
+    g_len = _lane_bcast_max(jnp.where(lr, geo["gap255"], 0))
+    s_pre = _lane_bcast_max(jnp.where(lr, geo["gap_before"], 0))
+    BIG = jnp.int32(1 << 30)
+    g_start = jnp.where(has_g, g_start, BIG)
+    g_end = jnp.where(has_g, jnp.minimum(g_start + g_len, BIG), BIG)
     s_post = jnp.where(has_g, s_pre + g_len, 0)
 
-    # per-output-row prevailing shift and intersecting gap:
-    #   s_row_pre(r): gap_before sum of all gaps ending <= row start --
-    #   equivalently s_post of the latest gap with g_end <= 128*r, i.e.
-    #   max over source rows of s_post * (g_end <= row_start); shifts
-    #   are non-decreasing so max == latest.
-    rowstart = (jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, 1), 0)
-                * ROW)                                            # (OR,1)
-    ge_b = jnp.transpose(g_end)                                   # (1,R)
-    gs_b = jnp.transpose(g_start)
-    sp_b = jnp.transpose(s_post)
-    spre_b = jnp.transpose(s_pre)
-    glen_b = jnp.transpose(g_len)
+    # change of axis: (NROWS, OUT_ROWS) lane-uniform planes -> transpose
+    def to_out_lanes(x):
+        return jnp.transpose(_widen(x, OUT_ROWS))           # (OR, NROWS)
 
-    done = ge_b <= rowstart                                       # (OR,R)
-    s_base = jnp.max(jnp.where(done, sp_b, 0), axis=1, keepdims=True)
-    # gap intersecting this row: gs < rowend and ge > rowstart
+    ge_b = to_out_lanes(g_end)
+    gs_b = to_out_lanes(g_start)
+    sp_b = to_out_lanes(s_post)
+    spre_b = to_out_lanes(s_pre)
+
+    rowstart = (jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, NROWS), 0)
+                * ROW)
+
+    # prevailing shift at row start: s_post of the latest gap that ended
+    # before the row (shifts are non-decreasing, so max == latest)
+    done = ge_b <= rowstart
+    s_base = _lane_bcast_max(jnp.where(done, sp_b, 0))
     inter = (gs_b < rowstart + ROW) & (ge_b > rowstart)
-    row_gs = jnp.max(jnp.where(inter, gs_b, -1), axis=1, keepdims=True)
-    row_ge = jnp.max(jnp.where(inter, ge_b, -1), axis=1, keepdims=True)
-    row_spre = jnp.max(jnp.where(inter, spre_b, 0), axis=1, keepdims=True)
-    row_spost = jnp.max(jnp.where(inter, sp_b, 0), axis=1, keepdims=True)
-    has_inter = jnp.any(inter, axis=1, keepdims=True)
-    # shift for pre-gap bytes of the row / post-gap bytes
-    sA = jnp.where(has_inter, row_spre, s_base)
-    sB = jnp.where(has_inter, row_spost, s_base)
+    row_gs = _lane_bcast_max(jnp.where(inter, gs_b, 0))
+    row_ge = _lane_bcast_max(jnp.where(inter, ge_b, 0))
+    row_spre = _lane_bcast_max(jnp.where(inter, spre_b, 0))
+    row_spost = _lane_bcast_max(jnp.where(inter, sp_b, 0))
+    has_inter = _lane_bcast_max(_i32(inter)) > 0
+    sA = jnp.where(has_inter, row_spre, s_base)[:, :ROW]    # (OR, ROW)
+    sB = jnp.where(has_inter, row_spost, s_base)[:, :ROW]
+    row_gs = row_gs[:, :ROW]
+    row_ge = row_ge[:, :ROW]
+    has_inter = has_inter[:, :ROW]
 
-    out = jnp.zeros((OUT_ROWS, ROW), jnp.int32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, ROW), 1)
-    q = rowstart + lane
+    orow = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, ROW), 0)
+    q = orow * ROW + lane
 
     def gather_rows(shift):
-        """M[r] = core bytes at flat positions rowstart + lane - shift."""
-        src = rowstart - shift                                    # (OR,1)
+        """M[r] = core bytes at flat positions q - shift (per-row shift)."""
+        src = orow * ROW - shift                            # (OR, ROW)
         cr = src // ROW
-        a = src - cr * ROW                                        # 0..127
-        # one-hot row gathers via MXU
+        a = src - cr * ROW                                  # 0..127
         crow = jax.lax.broadcasted_iota(jnp.int32, (OUT_ROWS, CORE_ROWS), 1)
-        R1 = (crow == cr).astype(jnp.float32)
-        R2 = (crow == cr + 1).astype(jnp.float32)
+        cr_w = _widen(cr, CORE_ROWS)
+        R1 = (crow == cr_w).astype(jnp.float32)
+        R2 = (crow == cr_w + 1).astype(jnp.float32)
         cf = core.astype(jnp.float32)
         G1 = jnp.dot(R1, cf, preferred_element_type=jnp.float32)
         G2 = jnp.dot(R2, cf, preferred_element_type=jnp.float32)
-        G1 = G1.astype(jnp.int32)
-        G2 = G2.astype(jnp.int32)
-        r1 = _barrel_roll_rows(G1, a)
-        r2 = _barrel_roll_rows(G2, a)
+        r1 = _barrel_roll_rows(G1.astype(jnp.int32), a)
+        r2 = _barrel_roll_rows(G2.astype(jnp.int32), a)
         return jnp.where(lane < ROW - a, r1, r2)
 
     MA = gather_rows(sA)
     MB = gather_rows(sB)
     in_gap = has_inter & (q >= row_gs) & (q < row_ge)
-    pre = q < jnp.where(has_inter, row_gs, jnp.int32(1 << 30))
+    pre = q < jnp.where(has_inter, row_gs, BIG)
     out = jnp.where(pre, MA, jnp.where(in_gap, 255, MB))
     used = geo["used"]
     out = jnp.where(q < used, out, 0)
