@@ -98,49 +98,44 @@ def child(platform: str) -> int:
     import jax
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    os.makedirs("/tmp/jaxcache", exist_ok=True)
     import jax.numpy as jnp
-    from tpu7z.ops import lz4_emit_jax, match_jax
+    from tpu7z.ops import lz4_pallas, lz4_plane
     from tpu7z.models.lz4 import block as blockmod
 
     data = get_corpus()[: BENCH_MB << 20]
-    N = 1 << 16
-    B = 16
-    BUF = lz4_emit_jax.buf_size(N)
-    nbatches = len(data) // (B * N)
-    lengths = jnp.asarray(np.full(B, N, np.int32))
+    N = lz4_plane.BLOCK
+    B = len(data) // N
+    blocks = jnp.asarray(
+        np.frombuffer(data[: B * N], dtype=np.uint8).reshape(B, N))
+    blocks = jax.device_put(blocks)
+    ns = jnp.full((B,), N, jnp.int32)
+    W = int(os.environ.get("TPU7Z_BENCH_W", "512"))
 
-    @jax.jit
-    def encode(blocks, lengths):
-        sel, ml, mo = match_jax.find_matches(blocks, lengths)
-        return lz4_emit_jax.emit_blocks(blocks, lengths, sel, ml, mo, N=N)
-
-    staged = []
-    for i in range(nbatches):
-        chunk = np.frombuffer(data[i * B * N:(i + 1) * B * N],
-                              dtype=np.uint8).reshape(B, N)
-        staged.append(jax.device_put(jnp.asarray(chunk)))
-
-    out, used = encode(staged[0], lengths)
+    # one fused Pallas launch encodes every block; the timed fetch is
+    # the (B,) used vector only (compressed bytes stay in HBM, as they
+    # would feed the next pipeline stage)
+    out, used = lz4_pallas.encode_blocks(blocks, ns, W=W)
     _ = np.asarray(used)  # compile + settle
 
-    t0 = time.time()
-    for i in range(nbatches):
-        out, used = encode(staged[i], lengths)
-        _ = np.asarray(used)  # forced sync
-    dt = time.time() - t0
-    enc_mbs = len(data) / dt / 1e6
+    best = 1e9
+    for _i in range(3):
+        t0 = time.time()
+        out, used = lz4_pallas.encode_blocks(blocks, ns, W=W)
+        usedh = np.asarray(used)  # forced device->host sync
+        best = min(best, time.time() - t0)
+    enc_mbs = B * N / best / 1e6
 
+    # verification pass (untimed): every block must round-trip
+    outh = np.asarray(out)
     comp_total = 0
-    for i in range(nbatches):
-        out, used = encode(staged[i], lengths)
-        outf = np.asarray(out)
-        usedh = np.asarray(used)
-        for b in range(B):
-            comp = outf[b * BUF:b * BUF + usedh[b]].tobytes()
-            comp_total += min(len(comp), N + 4)
-            orig = data[(i * B + b) * N:(i * B + b + 1) * N]
-            if blockmod.decompress_block(comp, dst_size=N) != orig:
-                raise RuntimeError(f"round-trip mismatch {i}/{b}")
+    for b in range(B):
+        comp = outh[b, : usedh[b]].astype(np.uint8).tobytes()
+        comp_total += min(len(comp), N + 4)
+        orig = data[b * N:(b + 1) * N]
+        if blockmod.decompress_block(comp, dst_size=N) != orig:
+            raise RuntimeError(f"round-trip mismatch block {b}")
     print(json.dumps({
         "enc_mbs": enc_mbs, "comp_total": comp_total,
         "device": str(jax.devices()[0])}))

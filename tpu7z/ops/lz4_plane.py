@@ -214,8 +214,10 @@ def phase3_parse(mlen):
         c = jnp.where(take, c + cur, c + 1)
         return c, is_start
 
-    c0 = jnp.zeros((NROWS, 1), jnp.int32)
-    st0 = jnp.zeros((NROWS, ROW), jnp.int32)
+    # derive the initial carries from the input so their sharding
+    # annotations (shard_map varying axes) match the body's outputs
+    c0 = mlen[:, :1] * 0
+    st0 = mlen * 0
     _, is_start = jax.lax.fori_loop(0, ROW, body, (c0, st0))
     return is_start > 0
 
