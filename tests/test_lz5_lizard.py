@@ -94,3 +94,31 @@ def test_lizard_liz_reference_decodes_ours(tmp_path, samples):
         r = subprocess.run([REF_7ZZ, "e", "-tlizard", "-so", str(p)],
                            capture_output=True, check=True)
         assert r.stdout == samples[name], name
+
+
+def test_lizard_huffman_levels_roundtrip(corpus):
+    from tpu7z.models import lizard
+    data = corpus["text"] + corpus["struct"][:30000]
+    for lvl in (31, 35, 41, 45, 49):
+        c = lizard.compress_frame(data, level=lvl)
+        assert lizard.decompress(c) == data
+    # entropy coding must help on text
+    raw = lizard.compress_frame(data, level=25)
+    huf = lizard.compress_frame(data, level=45)
+    assert len(huf) < len(raw)
+
+
+def test_lizard_huffman_reference_decodes(tmp_path, corpus):
+    import os
+    import subprocess
+    ref = "/tmp/refsrc/CPP/7zip/Bundles/Alone2/_o/7zz"
+    if not os.path.exists(ref):
+        import pytest
+        pytest.skip("no reference binary")
+    from tpu7z.models import lizard
+    data = corpus["text"] + corpus["random"][:20000]
+    arc = tmp_path / "t.liz"
+    arc.write_bytes(lizard.compress_frame(data, level=45))
+    r = subprocess.run([ref, "e", "-tlizard", "-so", str(arc)],
+                       capture_output=True)
+    assert r.returncode == 0 and r.stdout == data

@@ -18,8 +18,10 @@ compressed payload of each frame block is:
 HUF streams reuse the zstd Huffman machinery (Lizard embeds a private
 copy of the same format, C/lizard/liz_huf_decompress.c).
 
-The encoder emits LZ4-code-word chunks with raw streams (a valid subset
-accepted by the reference decoder), reusing the shared matcher.
+The encoder covers all four level families: 10-19 LZ4 code words,
+20-29 LIZv1 code words (raw streams), 30-39/40-49 the same with each of
+the off16/off24/flags/literals streams independently Huffman-coded when
+smaller (liz_huf_compress.c analog, sharing the zstd HUF machinery).
 """
 
 from __future__ import annotations
@@ -230,15 +232,76 @@ def decompress_block(src: bytes, max_out: int) -> bytes:
 
 def compress_block(data: bytes, level: int = 11) -> bytes:
     liz_words = (20 <= level <= 29) or (40 <= level <= 49)
+    entropy = level >= 30  # 30-49: Huffman-coded streams
     out = bytearray([level])
     for start in range(0, max(len(data), 1), BLOCK_SIZE):
         chunk = data[start:start + BLOCK_SIZE]
-        out += (_encode_chunk_liz(chunk) if liz_words
-                else _encode_chunk_lz4(chunk))
+        out += (_encode_chunk_liz(chunk, entropy) if liz_words
+                else _encode_chunk_lz4(chunk, entropy))
     return bytes(out)
 
 
-def _encode_chunk_liz(chunk: bytes) -> bytes:
+def _huf_compress(data: bytes):
+    """HUF_compress4X payload (tree + jump table + 4 backward streams,
+    liz_huf_compress.c format = zstd's): None when not smaller."""
+    from ...ops.bitstream import pack_bits_lsb
+    lits = np.frombuffer(data, np.uint8)
+    if lits.size < 64:
+        return None
+    hist = np.bincount(lits, minlength=256)
+    if np.count_nonzero(hist) < 2:
+        return None
+    built = huf.build_weights(hist)
+    if built is None:
+        return None
+    weights, nsym = built
+    tree = huf.write_tree_description(weights, nsym)
+    if tree is None:
+        return None
+    code_val, code_bits, _tl = huf.build_encode_table(weights)
+    n123 = (lits.size + 3) // 4
+    parts = [lits[:n123], lits[n123:2 * n123],
+             lits[2 * n123:3 * n123], lits[3 * n123:]]
+    streams = []
+    for p in parts:
+        if p.size == 0:
+            streams.append(b"")
+            continue
+        vals = code_val[p].astype(np.uint64)[::-1]
+        nbs = code_bits[p].astype(np.int64)[::-1]
+        streams.append(pack_bits_lsb(vals, nbs, end_marker=True))
+    if any(len(s) > 0xFFFF for s in streams[:3]):
+        return None
+    jump = b"".join(len(x).to_bytes(2, "little") for x in streams[:3])
+    payload = tree + jump + b"".join(streams)
+    if len(payload) + 3 >= len(data):
+        return None
+    return payload
+
+
+def _emit_streams(off16: bytes, off24: bytes, flags: bytes, lit: bytes,
+                  entropy: bool) -> bytes:
+    """Chunk body: flags byte + the 5 streams, Huffman-compressing each
+    of off16/off24/flags/literals independently when `entropy` (levels
+    30-49, liz_huf_compress.c) and smaller."""
+    fbits = 0
+    parts = []
+    for bit, data in ((4, off16), (8, off24), (2, flags), (1, lit)):
+        comp = _huf_compress(bytes(data)) if entropy else None
+        if comp is not None:
+            fbits |= bit
+            parts.append(len(data).to_bytes(3, "little")
+                         + len(comp).to_bytes(3, "little") + comp)
+        else:
+            parts.append(len(data).to_bytes(3, "little") + bytes(data))
+    body = bytearray([fbits])
+    body += (0).to_bytes(3, "little")       # lengths stream (unused)
+    for p in parts:
+        body += p
+    return bytes(body)
+
+
+def _encode_chunk_liz(chunk: bytes, entropy: bool = False) -> bytes:
     """LIZv1 code words (lizard_compress_liz.h behavior re-derived from
     the decoder token forms): short tokens carry a 16-bit offset or
     repeat the previous one (bit 7); tokens < 31 are long-offset
@@ -258,7 +321,7 @@ def _encode_chunk_liz(chunk: bytes) -> bytes:
         flags.append(0x80 | min(litlen, MAX_SHORT_LITLEN))
         if litlen >= MAX_SHORT_LITLEN:
             _ext_len(lit, litlen - MAX_SHORT_LITLEN)
-        lit += chunk[p - litlen:p]
+        lit.extend(chunk[p - litlen:p])
 
     for i in range(mpos.size):
         p, l, o = int(mpos[i]), int(mlen[i]), int(moff[i])
@@ -289,17 +352,8 @@ def _encode_chunk_liz(chunk: bytes) -> bytes:
         last_off = o
         pos = p + l
     lit += chunk[pos:]
-    body = bytearray([0])  # all streams raw
-    body += (0).to_bytes(3, "little")       # lengths stream (unused)
-    body += len(off16).to_bytes(3, "little")
-    body += off16
-    body += len(off24).to_bytes(3, "little")
-    body += off24
-    body += len(flags).to_bytes(3, "little")
-    body += flags
-    body += len(lit).to_bytes(3, "little")
-    body += lit
-    return bytes(body)
+    return _emit_streams(bytes(off16), bytes(off24), bytes(flags),
+                         bytes(lit), entropy)
 
 
 def _find_liz(s: np.ndarray):
@@ -321,7 +375,7 @@ def _find_liz(s: np.ndarray):
     return mpos[keep], mlen[keep], moff[keep]
 
 
-def _encode_chunk_lz4(chunk: bytes) -> bytes:
+def _encode_chunk_lz4(chunk: bytes, entropy: bool = False) -> bytes:
     s = np.frombuffer(chunk, dtype=np.uint8)
     n = s.size
     mpos, mlen, moff = _find(s)
@@ -343,15 +397,7 @@ def _encode_chunk_lz4(chunk: bytes) -> bytes:
         pos = p + l
     # trailing literals: no token, just append
     lit += chunk[pos:]
-    body = bytearray([0])  # all streams raw
-    body += len(b"").to_bytes(3, "little")  # lengths stream (empty)
-    body += (0).to_bytes(3, "little")  # offset16 (empty; offsets inline)
-    body += (0).to_bytes(3, "little")  # offset24 (empty)
-    body += len(flags).to_bytes(3, "little")
-    body += flags
-    body += len(lit).to_bytes(3, "little")
-    body += lit
-    return bytes(body)
+    return _emit_streams(b"", b"", bytes(flags), bytes(lit), entropy)
 
 
 def _ext_len(buf: bytearray, v: int):

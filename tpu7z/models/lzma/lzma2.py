@@ -109,10 +109,14 @@ def compress_chunks(data: bytes, lc: int = 3, lp: int = 0, pb: int = 2,
             enc.reset_state()
         comp = enc.encode_chunk(window, start, end)
         if len(comp) >= usize or len(comp) > 0xFFFF + 1:
-            ctrl = 1 if first else 2
-            out.append(ctrl)
-            out += (usize - 1).to_bytes(2, "big")
-            out += window[start:end].tobytes()
+            # uncompressed chunks carry at most 64K each (u16 size field)
+            p = start
+            while p < end:
+                e2 = min(p + 0x10000, end)
+                out.append(1 if first else 2)
+                out += (e2 - p - 1).to_bytes(2, "big")
+                out += window[p:e2].tobytes()
+                first = False
             # state invalid now; keep 2 until props have been declared once
             need_reset = max(need_reset, 1)
         else:

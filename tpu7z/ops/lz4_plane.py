@@ -411,26 +411,20 @@ def phase5_core(block, moff, geo):
         rlen = jnp.where(in_left, shiftl_flat(lens, g), lens)
         right_only = jnp.where(in_left, 0, content)
         left_only = jnp.where(in_left, content, 0)
-        v = g - llen              # left shift for the right sibling
-        # content(2**k positions) <= 1.25*2**k + 12 (each match covers
-        # >= 4 positions per <= 5 injected bytes; <= 2 partial matches
-        # at the group ends)
+        # right sibling moves left by (g - llen): one static shift by g,
+        # then a barrel shift RIGHT by llen. llen needs only
+        # ceil(log2(1.25*2**k + 12)) bits (content of 2**k positions is
+        # <= 1.25*2**k + 12: each match covers >= 4 positions per <= 5
+        # injected bytes, <= 2 partials at group ends) — far fewer ops
+        # than a barrel over g - llen.
         max_llen = min(g, (5 << k) // 4 + 12)
-        nvars = max_llen + 1
-        if nvars <= 14:
-            acc = jnp.zeros_like(content)
-            for ll in range(nvars):
-                sh = shiftl_flat(right_only, g - ll)
-                sh = jnp.where(lp + (g - ll) < pw, sh, 0)
-                acc = jnp.where(llen == ll, sh, acc)
-        else:
-            acc = right_only
-            bit = 1
-            while bit <= g:
-                sh = shiftl_flat(acc, bit)
-                sh = jnp.where(lp + bit < pw, sh, 0)
-                acc = jnp.where((v & bit) > 0, sh, acc)
-                bit *= 2
+        acc = shiftl_flat(right_only, g)      # content now at pair start
+        bit = 1
+        while bit <= max_llen:
+            sh = shiftr_flat(acc, bit)
+            sh = jnp.where(lp >= bit, sh, 0)  # keep within the pair
+            acc = jnp.where((llen & bit) > 0, sh, acc)
+            bit *= 2
         content = left_only + acc
         lens = llen + rlen
     return content[:CORE_ROWS]
