@@ -1,17 +1,21 @@
-"""Fused LZ4 block encoder as a single Pallas TPU kernel.
+"""Fused LZ4 block encoder as a pipeline of three Pallas TPU kernels.
 
-One `pallas_call` with grid (B,) encodes B independent 64 KB blocks:
-match finding, greedy parse, and byte emission all execute on-device in
-VMEM with zero host round-trips (the round-1 jnp pipeline lost ~100x to
-per-op dispatch; see docs/PERFORMANCE.md). The algorithm and all plane
-math live in ops/lz4_plane.py; the bit-exact numpy specification is
-ops/lz4_twin2.py, and tests assert kernel == twin byte-for-byte.
+Grid (B,) over independent 64 KB blocks; the three stages (match+parse
+geometry, packed hierarchical compaction, gap expansion) chain inside
+one jit with all intermediates resident in HBM — zero host round-trips
+(the round-1 jnp pipeline lost ~100x to per-op dispatch; see
+docs/PERFORMANCE.md). One monolithic kernel exceeds the remote Mosaic
+compiler's limits, so the split is also what makes compilation
+tractable; each stage ships only the geometry planes the next one
+needs (2D-concatenated — 3D stacks crash the lowering).
+
+The algorithm and all plane math live in ops/lz4_plane.py; the
+bit-exact numpy specification is ops/lz4_twin2.py, and tests assert
+kernel == twin byte-for-byte.
 
 Scalar plumbing note: the target's Pallas lowering rejects dynamic
-indexing of SMEM refs, so per-block scalars ride metadata rows instead:
-the input plane carries each block's valid length n in an extra row,
-and the output plane carries `used` back the same way (static slices
-only).
+indexing of SMEM refs, so per-block scalars ride metadata rows (the
+input plane carries n; stage outputs carry `used`): static slices only.
 
 Behavioral reference for the output format: C/lz4/lz4.c
 LZ4_compress_generic; the design shares nothing with its byte-serial
@@ -32,17 +36,91 @@ from . import lz4_plane as P
 BLOCK = P.BLOCK
 OUT_CAP = P.OUT_CAP
 
+# geometry planes for stage B (compaction): values then 0/1 masks
+_GEOB = ("token", "litrem", "e", "glen", "mlc",
+         "kept", "anchor", "mstart", "ml_ext")  # + moff appended
+_NB = len(_GEOB) + 1
+# geometry planes for stage C (expansion): values then masks; the last
+# plane carries `used` at [0, 0]
+_GEOC = ("core_pos", "gap255", "gap_before", "long_run")
+_NC = len(_GEOC) + 1
 
-def _kernel(block_ref, out_ref, *, W):
+
+def _rows(x):
+    return x.reshape(P.NROWS, P.ROW)
+
+
+def _kernel_a(block_ref, geob_ref, geoc_ref, *, W):
     meta = block_ref[0, P.NROWS, :].astype(jnp.int32) & 0xFF
     n = meta[0] | (meta[1] << 8) | (meta[2] << 16)
     block = block_ref[0, : P.NROWS, :].astype(jnp.int32) & 0xFF
-    out, used = P.encode_block_planes(block, n, W=W)
+    v = P.phase0_words(block)
+    so = P.phase1_nearest_offset(v, n, W)
+    mlen, moff = P.phase2_lengths(so, n)
+    is_start = P.phase3_parse(mlen)
+    geo = P.phase4_geometry(mlen, moff, is_start, n)
+
+    pb = [P._i32(geo[k]) for k in _GEOB] + [moff]
+    geob_ref[0] = jnp.concatenate(pb, axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (P.NROWS, P.ROW), 1)
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (P.NROWS, P.ROW), 0) * P.ROW
+           + lane)
+    used_plane = jnp.where(pos == 0, geo["used"], 0)
+    pc = [P._i32(geo[k]) for k in _GEOC] + [used_plane]
+    geoc_ref[0] = jnp.concatenate(pc, axis=0)
+
+
+def _unpack(g, names):
+    out = {}
+    for i, k in enumerate(names):
+        plane = g[i * P.NROWS:(i + 1) * P.NROWS]
+        out[k] = plane
+    return out
+
+
+_SPLIT_LEVEL = 9  # pyramid levels per kernel (>12 in one crash Mosaic)
+
+
+def _kernel_b1(block_ref, geob_ref, cl_ref):
+    block = block_ref[0, : P.NROWS, :].astype(jnp.int32) & 0xFF
+    g = geob_ref[0]
+    geo = _unpack(g, _GEOB)
+    for k in ("kept", "anchor", "mstart", "ml_ext"):
+        geo[k] = geo[k] > 0
+    moff = g[len(_GEOB) * P.NROWS:(len(_GEOB) + 1) * P.NROWS]
+    content, lens = P.phase5_build(block, moff, geo)
+    content, lens = P.phase5_merge(content, lens, 0, _SPLIT_LEVEL)
+    cl_ref[0] = jnp.concatenate([content, lens], axis=0)
+
+
+def _kernel_b2(cl_ref, core_ref):
+    cl = cl_ref[0]
+    content = cl[: P.P8_ROWS]
+    lens = cl[P.P8_ROWS:]
+    content, lens = P.phase5_merge(content, lens, _SPLIT_LEVEL, P.N_LEVELS)
+    core_ref[0] = content[: P.CORE_ROWS]
+
+
+def _kernel_c(geoc_ref, core_ref, out_ref):
+    g = geoc_ref[0]
+    geo = _unpack(g, _GEOC)
+    geo["long_run"] = geo["long_run"] > 0
+    geo["used"] = g[len(_GEOC) * P.NROWS, 0]
+    out, used = P.phase6_expand(core_ref[0], geo)
     out_ref[0, : P.OUT_ROWS, :] = out.astype(jnp.int8)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, P.ROW), 1)
-    used_row = ((used >> (8 * jnp.minimum(lane, 3))) & 0xFF)
+    used_row = (used >> (8 * jnp.minimum(lane, 3))) & 0xFF
     used_row = jnp.where(lane < 4, used_row, 0)
     out_ref[0, P.OUT_ROWS, :] = used_row[0].astype(jnp.int8)
+
+
+def _vspec(shape, dtype=jnp.int32):
+    n = len(shape)
+
+    def imap(b):
+        return (b,) + (0,) * (n - 1)
+
+    return pl.BlockSpec((1,) + shape[1:], imap, memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.jit, static_argnames=("W", "interpret"))
@@ -60,19 +138,49 @@ def encode_blocks(blocks, ns, W: int = P.W_DEFAULT, interpret: bool = False):
     meta = jnp.pad(meta, ((0, 0), (0, P.ROW - 3)))
     blocks3 = jnp.concatenate([blocks3, meta[:, None, :]], axis=1)
 
-    outm = pl.pallas_call(
-        functools.partial(_kernel, W=W),
+    bshape = (B, P.NROWS + 1, P.ROW)
+    gbshape = (B, _NB * P.NROWS, P.ROW)
+    gcshape = (B, _NC * P.NROWS, P.ROW)
+    geob, geoc = pl.pallas_call(
+        functools.partial(_kernel_a, W=W),
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, P.NROWS + 1, P.ROW), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, P.OUT_ROWS + 1, P.ROW),
-                               lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, P.OUT_ROWS + 1, P.ROW), jnp.int8),
+        in_specs=[_vspec(bshape)],
+        out_specs=[_vspec(gbshape), _vspec(gcshape)],
+        out_shape=[jax.ShapeDtypeStruct(gbshape, jnp.int32),
+                   jax.ShapeDtypeStruct(gcshape, jnp.int32)],
         interpret=interpret,
     )(blocks3)
+
+    clshape = (B, 2 * P.P8_ROWS, P.ROW)
+    cl = pl.pallas_call(
+        _kernel_b1,
+        grid=(B,),
+        in_specs=[_vspec(bshape), _vspec(gbshape)],
+        out_specs=_vspec(clshape),
+        out_shape=jax.ShapeDtypeStruct(clshape, jnp.int32),
+        interpret=interpret,
+    )(blocks3, geob)
+
+    cshape = (B, P.CORE_ROWS, P.ROW)
+    core = pl.pallas_call(
+        _kernel_b2,
+        grid=(B,),
+        in_specs=[_vspec(clshape)],
+        out_specs=_vspec(cshape),
+        out_shape=jax.ShapeDtypeStruct(cshape, jnp.int32),
+        interpret=interpret,
+    )(cl)
+
+    oshape = (B, P.OUT_ROWS + 1, P.ROW)
+    outm = pl.pallas_call(
+        _kernel_c,
+        grid=(B,),
+        in_specs=[_vspec(gcshape), _vspec(cshape)],
+        out_specs=_vspec(oshape),
+        out_shape=jax.ShapeDtypeStruct(oshape, jnp.int8),
+        interpret=interpret,
+    )(geoc, core)
+
     out = outm[:, : P.OUT_ROWS, :].reshape(B, OUT_CAP)
     um = outm[:, P.OUT_ROWS, :4].astype(jnp.int32) & 0xFF
     used = um[:, 0] | (um[:, 1] << 8) | (um[:, 2] << 16) | (um[:, 3] << 24)

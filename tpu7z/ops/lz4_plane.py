@@ -357,18 +357,11 @@ def expand8(x):
     return y.astype(jnp.int32).reshape(P8_ROWS, ROW)
 
 
-def phase5_core(block, moff, geo):
-    """Packed hierarchical compaction.
+def phase5_build(block, moff, geo):
+    """Level-0 packed content + lens planes (see phase5_core).
 
     Level-0 segments are 8-lane fields of a flat (P8_ROWS, ROW) plane
-    (flat index = position * 8 + slot). Each merge level shifts every
-    right sibling left by (field_width - left_len) with pair-boundary
-    masked flat shifts — small levels via shift-variant select, large
-    levels via a bit barrel. The plane shape never changes (narrow 2D
-    shapes crash the target's Mosaic lowering), and after 16 levels the
-    core bytes sit at flat [0, core_used).
-
-    Returns core plane (CORE_ROWS, ROW) int32 (one byte per element).
+    (flat index = position * 8 + slot).
     """
     kept = geo["kept"]
     anchor = geo["anchor"]
@@ -399,8 +392,31 @@ def phase5_core(block, moff, geo):
     for s in range(SEG0):
         content = jnp.where(slot_of == s, expand8(slot_vals[s]), content)
     lens = expand8(geo["glen"])   # every lane of a field: its glen
+    return content, lens
 
-    for k in range(17):           # 2**17 * 8-lane groups... 16 merges
+
+def phase5_core(block, moff, geo):
+    """Packed hierarchical compaction: level-0 build + all merge levels.
+    Each merge level shifts every right sibling left by
+    (field_width - left_len) with pair-boundary masked flat shifts; the
+    plane shape never changes (narrow 2D shapes crash the target's
+    Mosaic lowering). After N_LEVELS merges the core bytes sit at flat
+    [0, core_used). Returns (CORE_ROWS, ROW) int32, one byte/element."""
+    content, lens = phase5_build(block, moff, geo)
+    content, lens = phase5_merge(content, lens, 0, N_LEVELS)
+    return content[:CORE_ROWS]
+
+
+N_LEVELS = 16                     # merges: 2**16 groups of 8 -> 1
+
+
+def phase5_merge(content, lens, k_from, k_to):
+    """Merge levels [k_from, k_to) of the packed pyramid. Splitting the
+    range across pallas_calls keeps each kernel inside the remote Mosaic
+    compiler's limits (>12 levels in one kernel crash it)."""
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (P8_ROWS, ROW), 0) * ROW
+            + jax.lax.broadcasted_iota(jnp.int32, (P8_ROWS, ROW), 1))
+    for k in range(k_from, k_to):
         g = SEG0 << k             # group width before this merge
         if g >= BLOCK * SEG0:
             break
@@ -427,7 +443,7 @@ def phase5_core(block, moff, geo):
             bit *= 2
         content = left_only + acc
         lens = llen + rlen
-    return content[:CORE_ROWS]
+    return content, lens
 
 
 # ---------------------------------------------------------------------------
