@@ -117,6 +117,7 @@ def compress_chunks(data: bytes, lc: int = 3, lp: int = 0, pb: int = 2,
                 out += (e2 - p - 1).to_bytes(2, "big")
                 out += window[p:e2].tobytes()
                 first = False
+                p = e2
             # state invalid now; keep 2 until props have been declared once
             need_reset = max(need_reset, 1)
         else:

@@ -50,14 +50,31 @@ def _rows(x):
     return x.reshape(P.NROWS, P.ROW)
 
 
-def _kernel_a(block_ref, geob_ref, geoc_ref, *, W):
+def _meta_n(block_ref):
     meta = block_ref[0, P.NROWS, :].astype(jnp.int32) & 0xFF
-    n = meta[0] | (meta[1] << 8) | (meta[2] << 16)
+    return meta[0] | (meta[1] << 8) | (meta[2] << 16)
+
+
+def _kernel_a1(block_ref, mm_ref, *, W):
+    n = _meta_n(block_ref)
     block = block_ref[0, : P.NROWS, :].astype(jnp.int32) & 0xFF
     v = P.phase0_words(block)
     so = P.phase1_nearest_offset(v, n, W)
     mlen, moff = P.phase2_lengths(so, n)
-    is_start = P.phase3_parse(mlen)
+    mm_ref[0] = jnp.concatenate([mlen, moff], axis=0)
+
+
+def _kernel_a2(mm_ref, st_ref):
+    mlen = mm_ref[0, : P.NROWS]
+    st_ref[0] = P._i32(P.phase3_parse(mlen))
+
+
+def _kernel_a3(block_ref, mm_ref, st_ref, geob_ref, geoc_ref):
+    n = _meta_n(block_ref)
+    mm = mm_ref[0]
+    mlen = mm[: P.NROWS]
+    moff = mm[P.NROWS:]
+    is_start = st_ref[0] > 0
     geo = P.phase4_geometry(mlen, moff, is_start, n)
 
     pb = [P._i32(geo[k]) for k in _GEOB] + [moff]
@@ -139,17 +156,37 @@ def encode_blocks(blocks, ns, W: int = P.W_DEFAULT, interpret: bool = False):
     blocks3 = jnp.concatenate([blocks3, meta[:, None, :]], axis=1)
 
     bshape = (B, P.NROWS + 1, P.ROW)
+    mmshape = (B, 2 * P.NROWS, P.ROW)
+    mm = pl.pallas_call(
+        functools.partial(_kernel_a1, W=W),
+        grid=(B,),
+        in_specs=[_vspec(bshape)],
+        out_specs=_vspec(mmshape),
+        out_shape=jax.ShapeDtypeStruct(mmshape, jnp.int32),
+        interpret=interpret,
+    )(blocks3)
+
+    stshape = (B, P.NROWS, P.ROW)
+    st = pl.pallas_call(
+        _kernel_a2,
+        grid=(B,),
+        in_specs=[_vspec(mmshape)],
+        out_specs=_vspec(stshape),
+        out_shape=jax.ShapeDtypeStruct(stshape, jnp.int32),
+        interpret=interpret,
+    )(mm)
+
     gbshape = (B, _NB * P.NROWS, P.ROW)
     gcshape = (B, _NC * P.NROWS, P.ROW)
     geob, geoc = pl.pallas_call(
-        functools.partial(_kernel_a, W=W),
+        _kernel_a3,
         grid=(B,),
-        in_specs=[_vspec(bshape)],
+        in_specs=[_vspec(bshape), _vspec(mmshape), _vspec(stshape)],
         out_specs=[_vspec(gbshape), _vspec(gcshape)],
         out_shape=[jax.ShapeDtypeStruct(gbshape, jnp.int32),
                    jax.ShapeDtypeStruct(gcshape, jnp.int32)],
         interpret=interpret,
-    )(blocks3)
+    )(blocks3, mm, st)
 
     clshape = (B, 2 * P.P8_ROWS, P.ROW)
     cl = pl.pallas_call(
