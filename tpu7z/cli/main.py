@@ -30,6 +30,7 @@ _EXT_TYPES = {
     ".iso": "iso", ".Z": "z", ".taz": "z", ".xar": "xar",
     ".pkg": "xar", ".lzh": "lzh", ".lha": "lzh", ".lz": "lzip",
     ".tlz": "lzip", ".wim": "wim", ".swm": "wim", ".cab": "cab",
+    ".ext2": "ext", ".ext3": "ext", ".ext4": "ext", ".img": "ext",
 }
 
 
@@ -58,6 +59,8 @@ def _sniff_type(path: str, data: bytes | None = None) -> str:
             return "wim"
         if data[:4] == b"MSCF":
             return "cab"
+        if len(data) > 1082 and data[1080:1082] == b"\x53\xef":
+            return "ext"
         if data[:4] == b"xar!":
             return "xar"
         if len(data) > 7 and data[2:5] == b"-lh" and data[6:7] == b"-":
@@ -270,6 +273,9 @@ def _open_archive(opts, path):
     if atype == "cab":
         from ..containers import cab
         return atype, cab.read_cab(data), None
+    if atype == "ext":
+        from ..containers import ext
+        return atype, ext.read_ext(data), None
     codec = get_codec(atype)
     name = os.path.basename(path or "stdin")
     for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz", ".Z", ".lz", ".br"):
