@@ -131,6 +131,11 @@ def _kernel_c(geoc_ref, core_ref, out_ref):
     out_ref[0, P.OUT_ROWS, :] = used_row[0].astype(jnp.int8)
 
 
+# the stages keep multiple (4096,128) planes live in VMEM; the default
+# budget rejects them (v5e has 128 MB physical)
+_COMPILER = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _vspec(shape, dtype=jnp.int32):
     n = len(shape)
 
@@ -164,6 +169,7 @@ def encode_blocks(blocks, ns, W: int = P.W_DEFAULT, interpret: bool = False):
         out_specs=_vspec(mmshape),
         out_shape=jax.ShapeDtypeStruct(mmshape, jnp.int32),
         interpret=interpret,
+        compiler_params=_COMPILER,
     )(blocks3)
 
     stshape = (B, P.NROWS, P.ROW)
@@ -174,6 +180,7 @@ def encode_blocks(blocks, ns, W: int = P.W_DEFAULT, interpret: bool = False):
         out_specs=_vspec(stshape),
         out_shape=jax.ShapeDtypeStruct(stshape, jnp.int32),
         interpret=interpret,
+        compiler_params=_COMPILER,
     )(mm)
 
     gbshape = (B, _NB * P.NROWS, P.ROW)
@@ -186,6 +193,7 @@ def encode_blocks(blocks, ns, W: int = P.W_DEFAULT, interpret: bool = False):
         out_shape=[jax.ShapeDtypeStruct(gbshape, jnp.int32),
                    jax.ShapeDtypeStruct(gcshape, jnp.int32)],
         interpret=interpret,
+        compiler_params=_COMPILER,
     )(blocks3, mm, st)
 
     clshape = (B, 2 * P.P8_ROWS, P.ROW)
@@ -196,6 +204,7 @@ def encode_blocks(blocks, ns, W: int = P.W_DEFAULT, interpret: bool = False):
         out_specs=_vspec(clshape),
         out_shape=jax.ShapeDtypeStruct(clshape, jnp.int32),
         interpret=interpret,
+        compiler_params=_COMPILER,
     )(blocks3, geob)
 
     cshape = (B, P.CORE_ROWS, P.ROW)
@@ -206,6 +215,7 @@ def encode_blocks(blocks, ns, W: int = P.W_DEFAULT, interpret: bool = False):
         out_specs=_vspec(cshape),
         out_shape=jax.ShapeDtypeStruct(cshape, jnp.int32),
         interpret=interpret,
+        compiler_params=_COMPILER,
     )(cl)
 
     oshape = (B, P.OUT_ROWS + 1, P.ROW)
@@ -216,6 +226,7 @@ def encode_blocks(blocks, ns, W: int = P.W_DEFAULT, interpret: bool = False):
         out_specs=_vspec(oshape),
         out_shape=jax.ShapeDtypeStruct(oshape, jnp.int8),
         interpret=interpret,
+        compiler_params=_COMPILER,
     )(geoc, core)
 
     out = outm[:, : P.OUT_ROWS, :].reshape(B, OUT_CAP)
