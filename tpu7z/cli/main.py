@@ -30,7 +30,9 @@ _EXT_TYPES = {
     ".iso": "iso", ".Z": "z", ".taz": "z", ".xar": "xar",
     ".pkg": "xar", ".lzh": "lzh", ".lha": "lzh", ".lz": "lzip",
     ".tlz": "lzip", ".wim": "wim", ".swm": "wim", ".cab": "cab",
-    ".ext2": "ext", ".ext3": "ext", ".ext4": "ext", ".img": "ext",
+    ".ext2": "ext", ".ext3": "ext", ".ext4": "ext",
+    # .img is deliberately absent: generic disk images (FAT, raw dd,
+    # hybrid ISO) are routed by the 0xEF53-at-1080 content sniff instead
 }
 
 

@@ -35,7 +35,7 @@ S_IFREG = 0x8000
 
 class _Fs:
     __slots__ = ("data", "bs", "inosz", "inodes_per_group", "group_desc",
-                 "desc_size", "ngroups")
+                 "desc_size", "ngroups", "rev")
 
 
 def _load_fs(data: bytes) -> _Fs:
@@ -52,6 +52,7 @@ def _load_fs(data: bytes) -> _Fs:
     fs.inodes_per_group = struct.unpack_from("<I", sb, 40)[0]
     inodes_count = struct.unpack_from("<I", sb, 0)[0]
     rev = struct.unpack_from("<I", sb, 76)[0]
+    fs.rev = rev
     fs.inosz = struct.unpack_from("<H", sb, 88)[0] if rev >= 1 else 128
     incompat = struct.unpack_from("<I", sb, 96)[0]
     fs.desc_size = 32
@@ -77,7 +78,10 @@ def _inode_raw(fs: _Fs, ino: int) -> bytes:
     if fs.desc_size >= 64:
         table |= struct.unpack_from("<I", gd, 40)[0] << 32
     off = table * fs.bs + index * fs.inosz
-    return fs.data[off:off + fs.inosz]
+    raw = fs.data[off:off + fs.inosz]
+    if len(raw) < min(fs.inosz, 128):
+        raise CorruptError("ext: truncated inode table")
+    return raw
 
 
 def _block(fs: _Fs, blk: int) -> bytes:
@@ -110,7 +114,12 @@ def _extent_blocks(fs: _Fs, node: bytes, out: dict):
 
 def _file_content(fs: _Fs, inode: bytes) -> bytes:
     size = struct.unpack_from("<I", inode, 4)[0]
-    size |= struct.unpack_from("<I", inode, 108)[0] << 32  # size_high
+    # offset 108 is size_high only for regular files on rev>=1
+    # filesystems; on rev-0/ext2 it is i_dir_acl (and always i_dir_acl
+    # for directories), which would yield a bogus huge size
+    mode = struct.unpack_from("<H", inode, 0)[0]
+    if fs.rev >= 1 and (mode & S_IFMT) == S_IFREG:
+        size |= struct.unpack_from("<I", inode, 108)[0] << 32  # size_high
     flags = struct.unpack_from("<I", inode, 32)[0]
     blockarea = inode[40:100]
     if flags & INLINE_DATA_FL:

@@ -274,6 +274,8 @@ def compress(data: bytes, level: int = 3, use_native: bool = True,
         c = _native.zstd_encode(bytes(data), level=level)
         if c is not None:
             return c
-    kw.pop("threads", None)
+    # extra method props (e.g. wlog=N) force the single-threaded Python
+    # path: the native tier has no prop plumbing, so `threads` cannot be
+    # honored here either
     from .compressor import compress as _impl
     return _impl(data, level=level, **kw)

@@ -594,7 +594,8 @@ static size_t read_seq_table(unsigned mode, const uint8_t* src, size_t n,
 // Decode a compressed block's sequences + execute into out[op..].
 // Returns new op.
 static size_t decode_block(const uint8_t* src, size_t n, DecState& st,
-                           uint8_t* out, size_t op, size_t cap) {
+                           uint8_t* out, size_t op, size_t cap,
+                           size_t frame_base) {
     size_t lit_size = 0;
     size_t used = decode_literals(src, n, st, &lit_size);
     if (used > n) throw Err{};
@@ -713,7 +714,10 @@ static size_t decode_block(const uint8_t* src, size_t n, DecState& st,
             }
             lp += ll; lit_left -= ll; op += ll;
         }
-        if (off > op || off == 0) throw Err{};
+        // offsets must stay within the current frame's window: a corrupt
+        // second frame in a concatenation must error, not copy bytes
+        // from the previous frame's output
+        if (off > op - frame_base || off == 0) throw Err{};
         size_t start = op - (size_t)off;
         if (op + ml + 32 <= cap) {
             uint8_t* d = out + op;
@@ -853,6 +857,11 @@ static size_t decode_frame(const uint8_t* src, size_t n,
         // ensure capacity for the worst case (decoded block <= 128K)
         if (op + (128 * 1024) + 64 > out.size())
             out.resize(op + (op - base_op) + (1u << 20));
+        // RFC 8878: Block_Maximum_Size caps every block type, including
+        // raw and RLE (bsize is the regenerated size for RLE). Without
+        // this check a crafted 21-bit bsize could overrun the 128K+64
+        // slack guaranteed above.
+        if (bsize > block_cap) throw Err{};
         if (btype == 0) {  // raw
             if (pos + bsize > n) throw Err{};
             std::memcpy(out.data() + op, src + pos, bsize);
@@ -868,7 +877,7 @@ static size_t decode_frame(const uint8_t* src, size_t n,
             if (pos + bsize > n) throw Err{};
             size_t op_before = op;
             op = decode_block(src + pos, bsize, st, out.data(), op,
-                              out.size());
+                              out.size(), base_op);
             if (op - op_before > 128 * 1024) throw Err{};  // RFC block cap
             pos += bsize;
         }
