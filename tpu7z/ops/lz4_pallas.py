@@ -55,12 +55,13 @@ def _meta_n(block_ref):
     return meta[0] | (meta[1] << 8) | (meta[2] << 16)
 
 
-def _kernel_a1(block_ref, mm_ref, *, W):
+def _kernel_a1(block_ref, so8_ref, mm_ref, *, W):
     n = _meta_n(block_ref)
     block = block_ref[0, : P.NROWS, :].astype(jnp.int32) & 0xFF
     v = P.phase0_words(block)
     so = P.phase1_nearest_offset(v, n, W)
-    mlen, moff = P.phase2_lengths(so, n)
+    so8 = so8_ref[0]
+    mlen, moff = P.phase2_lengths(so, n, so8)
     mm_ref[0] = jnp.concatenate([mlen, moff], axis=0)
 
 
@@ -160,17 +161,28 @@ def encode_blocks(blocks, ns, W: int = P.W_DEFAULT, interpret: bool = False):
     meta = jnp.pad(meta, ((0, 0), (0, P.ROW - 3)))
     blocks3 = jnp.concatenate([blocks3, meta[:, None, :]], axis=1)
 
+    # tier-B sorted-neighbor candidates at XLA level (lax.sort is not a
+    # Mosaic construct); everything stays on-device inside this jit
+    bu = blocks.reshape(B, P.BLOCK).astype(jnp.int32) & 0xFF
+    w = bu
+    for k in (1, 2, 3):
+        sh = jnp.concatenate(
+            [bu[:, k:], jnp.zeros((B, k), jnp.int32)], axis=1)
+        w = w | (sh << (8 * k))
+    so8 = P.tier_b_candidates(w, ns).reshape(B, P.NROWS, P.ROW)
+
     bshape = (B, P.NROWS + 1, P.ROW)
+    so8shape = (B, P.NROWS, P.ROW)
     mmshape = (B, 2 * P.NROWS, P.ROW)
     mm = pl.pallas_call(
         functools.partial(_kernel_a1, W=W),
         grid=(B,),
-        in_specs=[_vspec(bshape)],
+        in_specs=[_vspec(bshape), _vspec(so8shape)],
         out_specs=_vspec(mmshape),
         out_shape=jax.ShapeDtypeStruct(mmshape, jnp.int32),
         interpret=interpret,
         compiler_params=_COMPILER,
-    )(blocks3)
+    )(blocks3, so8)
 
     stshape = (B, P.NROWS, P.ROW)
     st = pl.pallas_call(

@@ -20,14 +20,17 @@ import jax
 import jax.numpy as jnp
 
 MIN_MATCH = 4
+MIN_MATCH_B = 8      # tier-B verified bytes per sorted-neighbor candidate
 ROW = 128
 NROWS = 512
 BLOCK = ROW * NROWS
-W_DEFAULT = 512
+W_DEFAULT = 64       # tier-A exhaustive window
 TAIL_GUARD = 12
 END_LITERALS = 5
 LONG_LIT = 270
 SEG0 = 8
+HASH_C1 = 0x9E3779B1
+HASH_C2 = 0x85EBCA77
 
 # core capacity: content <= 1.25*BLOCK + 6; pad to row multiple
 CORE_ROWS = 672                      # 672*128 = 86016 >= 81926
@@ -168,6 +171,50 @@ def _pos_plane():
     return r * ROW + c
 
 
+def tier_b_candidates(words, ns):
+    """Tier-B sorted-neighbor matcher over the FULL 64K block window.
+
+    words: (B, BLOCK) int32 — the u32 word at every position (phase 0);
+    ns: (B,) int32 valid lengths. Returns so8 (B, BLOCK) int32: offset
+    to a previous position with the same 8 bytes (0 = none). Exact: a
+    candidate is emitted only after full 8-byte verification via the
+    two carried words, so hash collisions can only miss matches.
+
+    XLA-level (runs between the Pallas stages): one 3-operand
+    lax.sort by key = hash16 << 16 | pos (unique keys => deterministic
+    order), K=2 predecessor probes, then a 1-operand unsort by
+    key2 = pos << 16 | off. Replaces C/lz4/lz4.c's byte-serial hash
+    chain with two device sorts.
+    """
+    B = words.shape[0]
+    w0 = words.astype(jnp.uint32)
+    zero4 = jnp.zeros((B, 4), jnp.uint32)
+    w1 = jnp.concatenate([w0[:, 4:], zero4], axis=1)
+    h16 = ((w0 * jnp.uint32(HASH_C1)) ^ (w1 * jnp.uint32(HASH_C2)))
+    h16 = h16 >> jnp.uint32(16)
+    pos = jax.lax.broadcasted_iota(jnp.uint32, (B, BLOCK), 1)
+    key = (h16 << jnp.uint32(16)) | pos
+    skey, sw0, sw1 = jax.lax.sort((key, w0, w1), dimension=1, num_keys=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, BLOCK), 1)
+    so8s = jnp.zeros((B, BLOCK), jnp.int32)
+    for k in (1, 2):
+        zk = jnp.zeros((B, k), jnp.uint32)
+        pk = jnp.concatenate([zk, skey[:, :-k]], axis=1)
+        p0 = jnp.concatenate([zk, sw0[:, :-k]], axis=1)
+        p1 = jnp.concatenate([zk, sw1[:, :-k]], axis=1)
+        verify = (((pk >> jnp.uint32(16)) == (skey >> jnp.uint32(16)))
+                  & (p0 == sw0) & (p1 == sw1) & (col >= k))
+        off = ((skey & jnp.uint32(0xFFFF)).astype(jnp.int32)
+               - (pk & jnp.uint32(0xFFFF)).astype(jnp.int32))
+        so8s = jnp.where((so8s == 0) & verify, off, so8s)
+    key2 = (((skey & jnp.uint32(0xFFFF)) << jnp.uint32(16))
+            | so8s.astype(jnp.uint32))
+    (key2s,) = jax.lax.sort((key2,), dimension=1, num_keys=1)
+    so8 = (key2s & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    guard = jnp.maximum(ns.astype(jnp.int32) - TAIL_GUARD, 0)
+    return jnp.where(col < guard[:, None], so8, 0)
+
+
 def suffix_run_flat(flag, cap):
     """run[i] = consecutive nonzero count at i.. (capped), log-doubling."""
     run = _i32(flag)
@@ -180,20 +227,32 @@ def suffix_run_flat(flag, cap):
     return jnp.minimum(run, cap)
 
 
-def phase2_lengths(so, n):
-    pos = _pos_plane()
+def _tier_runs(so, kmin):
+    """Uncapped verified lengths from same-offset diag runs."""
     sov = so > 0
     diag = sov & (shiftl_flat(so, 1) == so)
     srun = suffix_run_flat(diag, BLOCK)
-    mlen = jnp.where(sov, srun + MIN_MATCH, 0)
+    return jnp.where(sov, srun + kmin, 0)
+
+
+def phase2_lengths(so, n, so8=None):
+    pos = _pos_plane()
+    mlen = _tier_runs(so, MIN_MATCH)
+    moff = so
+    if so8 is not None:
+        mlen8 = _tier_runs(so8, MIN_MATCH_B)
+        use8 = mlen8 > mlen
+        mlen = jnp.where(use8, mlen8, mlen)
+        moff = jnp.where(use8, so8, moff)
 
     limit = jnp.maximum(n - END_LITERALS - pos, 0)
     mlen = jnp.minimum(mlen, limit)
     lane = jax.lax.broadcasted_iota(jnp.int32, (NROWS, ROW), 1)
     mlen = jnp.minimum(mlen, ROW - lane)
-    ok = (mlen >= MIN_MATCH) & (pos < jnp.maximum(n - TAIL_GUARD, 0)) & sov
+    ok = ((mlen >= MIN_MATCH) & (pos < jnp.maximum(n - TAIL_GUARD, 0))
+          & (moff > 0))
     mlen = jnp.where(ok, mlen, 0)
-    moff = jnp.where(ok, so, 0)
+    moff = jnp.where(ok, moff, 0)
     return mlen, moff
 
 
@@ -225,6 +284,7 @@ def phase3_parse(mlen):
 def phase4_geometry(mlen, moff, is_start, n):
     pos = _pos_plane()
     lane = jax.lax.broadcasted_iota(jnp.int32, (NROWS, ROW), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (NROWS, ROW), 0)
     in_range = pos < n
     mstart = is_start & in_range
 
@@ -240,14 +300,35 @@ def phase4_geometry(mlen, moff, is_start, n):
     covered = (lane < acc) & in_range
     kept = in_range & ~covered
 
+    # parity-pair merge: a lane-0 match start on an ODD row whose
+    # previous row has a match ending exactly at the row boundary with
+    # the SAME offset is a continuation — it emits nothing; the head
+    # absorbs its length. Merged mlc <= 252, so one ml-ext byte always
+    # suffices. Purely local (static row shifts), no chain scan.
+    end_m = mstart & (lane + mlen == ROW)
+    end_off = _lane_bcast_max(jnp.where(end_m, moff, 0))
+    has_end = end_off > 0
+    prev_end_off = row_shift_down(end_off, 1)
+    prev_has = row_shift_down(_i32(has_end), 1) > 0
+    cont = (mstart & (lane == 0) & (rowi % 2 == 1)
+            & prev_has & (moff == prev_end_off))
+    head = mstart & ~cont
+    cont_len = _lane_bcast_max(jnp.where(cont, mlen, 0))
+    cont_off = _lane_bcast_max(jnp.where(cont, moff, 0))
+    next_cont_len = row_shift_up(cont_len, 1)
+    next_cont_off = row_shift_up(cont_off, 1)
+    add = jnp.where(end_m & head & (moff == next_cont_off)
+                    & (next_cont_len > 0), next_cont_len, 0)
+    mlen_m = mlen + add
+
     prev_cov = shiftr_flat(_i32(covered), 1) > 0
-    anchor = in_range & ((pos == 0) | (prev_cov & (mstart | ~covered)))
+    anchor = in_range & ((pos == 0) | (prev_cov & (head | ~covered)))
 
     # next match start + its mlc nibble via one suffix-max of encoded
     # (BLOCK - pos) * 16 + nib  (bigger = earlier; zero fill neutral)
-    mlc = jnp.where(mstart, mlen - MIN_MATCH, 0)
+    mlc = jnp.where(head, mlen_m - MIN_MATCH, 0)
     nib = jnp.minimum(mlc, 15)
-    enc = jnp.where(mstart, (BLOCK - pos) * 16 + nib, 0)
+    enc = jnp.where(head, (BLOCK - pos) * 16 + nib, 0)
     best = suffix_max_flat(enc)
     has_next = best > 0
     next_start = jnp.where(has_next, BLOCK - (best >> 4), n)
@@ -261,12 +342,13 @@ def phase4_geometry(mlen, moff, is_start, n):
     litrem = jnp.where(has_ext, (L - 15) % 255, 0)
     long_run = anchor & (L >= LONG_LIT)
 
-    ml_ext = mstart & (mlc >= 15)
+    ml_ext = head & (mlc >= 15)
     token = jnp.where(anchor, (jnp.minimum(L, 15) << 4) | next_nib, 0)
 
     injH_core = jnp.where(anchor, 1 + jnp.minimum(e, 1), 0)
-    injT = jnp.where(mstart, 2 + _i32(ml_ext), 0)
+    injT = jnp.where(head, 2 + _i32(ml_ext), 0)
     glen = jnp.where(in_range, _i32(kept) + injH_core + injT, 0)
+    mstart = head
 
     core_pos = prefix_sum_excl_flat(glen)
     core_used = (core_pos[NROWS - 1, ROW - 1]
@@ -570,14 +652,21 @@ def phase6_expand(core, geo):
 
 # ---------------------------------------------------------------------------
 
-def encode_block_planes(block, n, W=W_DEFAULT):
+def encode_block_planes(block, n, W=W_DEFAULT, tier_b=True):
     """Full pipeline on (NROWS, ROW) int32 byte plane.
 
     Returns (out plane (OUT_ROWS, ROW) int32 bytes, used scalar int32).
+    XLA-level composition (outside Pallas): the tier-B sort runs as a
+    lax.sort between the plane phases.
     """
     v = phase0_words(block)
     so = phase1_nearest_offset(v, n, W)
-    mlen, moff = phase2_lengths(so, n)
+    so8 = None
+    if tier_b:
+        ns = jnp.asarray(n, jnp.int32).reshape(1)
+        so8 = tier_b_candidates(v.reshape(1, BLOCK), ns)
+        so8 = so8.reshape(NROWS, ROW)
+    mlen, moff = phase2_lengths(so, n, so8)
     is_start = phase3_parse(mlen)
     geo = phase4_geometry(mlen, moff, is_start, n)
     core = phase5_core(block, moff, geo)

@@ -12,12 +12,22 @@ walks a byte-serial hash table; here every step is a fixed-shape vector
 pass):
 
   phase 0  u32 words at every position (elementwise)
-  phase 1  exhaustive nearest-offset matcher: for offset o in 1..W a
-           full-plane compare v[p] == v[p-o]; nearest offset wins.
-           Finds EVERY match with offset <= W (the reference's hash
-           table finds a pseudo-random subset of offsets <= 64K).
+  phase 1  TWO match-candidate tiers, combined by taking the longer
+           run at each position:
+           tier A: exhaustive nearest-offset matcher: for offset o in
+             1..W a full-plane compare v[p] == v[p-o]; nearest wins.
+             Finds EVERY match with offset <= W.
+           tier B (sorted-neighbor, full 64K window): sort positions by
+             key = hash16(8 bytes) << 16 | pos; the nearest previous
+             same-8-byte occurrence is (with high probability) one of
+             the K=2 predecessors in sorted order; candidates verify
+             the full 8 bytes exactly (two carried u32 words), so a
+             hash collision can only MISS a match, never fabricate
+             one. This replaces the reference's byte-serial hash chain
+             (C/lz4/lz4.c LZ4_compress_generic) with two device sorts.
   phase 2  match lengths = same-offset run lengths (suffix run via
-           log-doubling shifts), capped at row end / block tail
+           log-doubling shifts; tier B runs start at 8 verified
+           bytes), capped at row end / block tail
   phase 3  greedy parse: 128-step cursor scan, one cursor lane per
            128-byte row, all rows parallel. Adjacent same-offset
            sequences are NOT re-merged (output stays valid; costs a
@@ -50,7 +60,10 @@ MIN_MATCH = 4
 ROW = 128
 NROWS = 512
 BLOCK = ROW * NROWS
-W_DEFAULT = 512        # matcher window (offsets searched exhaustively)
+W_DEFAULT = 64         # tier-A window (offsets searched exhaustively)
+MIN_MATCH_B = 8        # tier-B verified bytes per candidate
+HASH_C1 = np.uint32(0x9E3779B1)
+HASH_C2 = np.uint32(0x85EBCA77)
 TAIL_GUARD = 12        # no match may start in the last 12 bytes (lz4.h)
 END_LITERALS = 5       # last 5 bytes are always literals
 LONG_LIT = 270         # literal runs >= this get a 255-run gap
@@ -124,6 +137,45 @@ def phase1_nearest_offset(v: np.ndarray, n: int, W: int) -> np.ndarray:
     return np.where(pos < max(n - TAIL_GUARD, 0), so, 0)
 
 
+def phase1b_sorted_candidates(v: np.ndarray, n: int) -> np.ndarray:
+    """so8[p] = offset to a previous position with the same 8 bytes.
+
+    Kernel form: one 3-operand device sort by key = hash16 << 16 | pos
+    (keys are unique, so the order is fully determined), K=2 predecessor
+    probes with exact 8-byte verification via the carried words, and a
+    second 1-operand sort on key2 = pos << 16 | off to return to
+    position order. Collisions can only lose candidates, never invent
+    them, so the output is always a true >= 8-byte match.
+    """
+    w0 = v.astype(np.uint32)
+    w1 = shift_left(v, 4).astype(np.uint32)
+    h = (w0 * HASH_C1) ^ (w1 * HASH_C2)
+    h16 = h >> np.uint32(16)
+    pos = np.arange(BLOCK, dtype=np.uint32)
+    key = (h16 << np.uint32(16)) | pos
+    order = np.argsort(key)
+    skey = key[order]
+    sw0 = w0[order]
+    sw1 = w1[order]
+    idx = np.arange(BLOCK)
+    so8s = np.zeros(BLOCK, np.int64)
+    for k in (1, 2):
+        pk = shift_right(skey, k)
+        p0 = shift_right(sw0, k)
+        p1 = shift_right(sw1, k)
+        verify = (((pk >> np.uint32(16)) == (skey >> np.uint32(16)))
+                  & (p0 == sw0) & (p1 == sw1) & (idx >= k))
+        off = ((skey & np.uint32(0xFFFF)).astype(np.int64)
+               - (pk & np.uint32(0xFFFF)).astype(np.int64))
+        so8s = np.where((so8s == 0) & verify, off, so8s)
+    key2 = (((skey & np.uint32(0xFFFF)) << np.uint32(16))
+            | so8s.astype(np.uint32))
+    key2s = np.sort(key2)
+    so8 = (key2s & np.uint32(0xFFFF)).astype(np.int64)
+    posi = np.arange(BLOCK, dtype=np.int64)
+    return np.where(posi < max(n - TAIL_GUARD, 0), so8, 0)
+
+
 def suffix_run(flag: np.ndarray, cap: int) -> np.ndarray:
     """run[i] = consecutive True count at i, i+1, ... (capped)."""
     run = flag.astype(np.int32)
@@ -136,21 +188,35 @@ def suffix_run(flag: np.ndarray, cap: int) -> np.ndarray:
     return np.minimum(run, cap)
 
 
-def phase2_lengths(so: np.ndarray, n: int):
-    """(mlen, moff) planes; mlen capped at row end and block tail."""
-    pos = np.arange(BLOCK, dtype=np.int32)
+def _tier_run_lengths(so: np.ndarray, kmin: int) -> np.ndarray:
+    """Uncapped verified lengths from same-offset diag runs: each
+    position in the run certifies `kmin` bytes at its offset, so a run
+    of r+1 positions covers r + kmin bytes."""
     sov = so > 0
     diag = sov & (shift_left(so, 1) == so)
     srun = suffix_run(diag, BLOCK)
-    mlen = np.where(sov, srun + MIN_MATCH, 0)
+    return np.where(sov, srun + kmin, 0)
+
+
+def phase2_lengths(so: np.ndarray, n: int, so8: np.ndarray | None = None):
+    """(mlen, moff) planes; tierA/tierB combined by longer run; mlen
+    capped at row end and block tail."""
+    pos = np.arange(BLOCK, dtype=np.int32)
+    mlen = _tier_run_lengths(so, MIN_MATCH)
+    moff = so.astype(np.int64)
+    if so8 is not None:
+        mlen8 = _tier_run_lengths(so8, MIN_MATCH_B)
+        use8 = mlen8 > mlen
+        mlen = np.where(use8, mlen8, mlen)
+        moff = np.where(use8, so8.astype(np.int64), moff)
 
     limit = np.maximum(n - END_LITERALS - pos, 0)
     mlen = np.minimum(mlen, limit)
     row_end = (pos // ROW + 1) * ROW
     mlen = np.minimum(mlen, row_end - pos)
-    ok = (mlen >= MIN_MATCH) & (pos < max(n - TAIL_GUARD, 0)) & sov
+    ok = (mlen >= MIN_MATCH) & (pos < max(n - TAIL_GUARD, 0)) & (moff > 0)
     mlen = np.where(ok, mlen, 0)
-    moff = np.where(ok, so.astype(np.int64), 0)
+    moff = np.where(ok, moff, 0)
     return mlen.astype(np.int64), moff
 
 
@@ -203,14 +269,42 @@ def phase4_geometry(block, mlen, moff, is_start, n: int):
 
     kept = in_range & ~covered
 
+    # parity-pair merge: a lane-0 match start on an ODD row whose
+    # previous row has a match ending exactly at the row boundary with
+    # the SAME offset becomes a continuation — it emits nothing and its
+    # length is absorbed by the head. Merged mlc <= 252, so a single
+    # match-length extension byte always suffices. Local rule (no chain
+    # scan): chains are exactly head + at most one continuation.
+    lane = pos % ROW
+    rowi = pos // ROW
+    end_m = mstart & (lane + mlen == ROW)
+    em2 = end_m.reshape(NROWS, ROW)
+    mo2 = moff.reshape(NROWS, ROW)
+    end_off_row = (mo2 * em2).sum(axis=1)          # <=1 end-match/row
+    has_end_row = em2.any(axis=1)
+    prev_has_end = np.concatenate([[False], has_end_row[:-1]])
+    prev_end_off = np.concatenate([[0], end_off_row[:-1]])
+    cont = (mstart & (lane == 0) & (rowi % 2 == 1)
+            & prev_has_end[rowi] & (moff == prev_end_off[rowi]))
+    head = mstart & ~cont
+    c2 = cont.reshape(NROWS, ROW)
+    ml2 = mlen.reshape(NROWS, ROW)
+    cont_len_row = np.where(c2[:, 0], ml2[:, 0], 0)
+    cont_off_row = np.where(c2[:, 0], mo2[:, 0], -1)
+    next_cont_len = np.concatenate([cont_len_row[1:], [0]])
+    next_cont_off = np.concatenate([cont_off_row[1:], [-1]])
+    add = np.where(end_m & head & (moff == next_cont_off[rowi]),
+                   next_cont_len[rowi], 0)
+    mlen_m = mlen + add
+
     prev_covered = shift_right(covered.astype(np.int8), 1).astype(bool)
-    anchor = in_range & ((pos == 0) | (prev_covered & (mstart | ~covered)))
+    anchor = in_range & ((pos == 0) | (prev_covered & (head | ~covered)))
 
     # next match start at-or-after p, with its mlc nibble, via one
     # suffix-min over the encoded pair pos*16 + min(mlc,15)
-    mlc = np.where(mstart, mlen - MIN_MATCH, 0)
+    mlc = np.where(head, mlen_m - MIN_MATCH, 0)
     INF = np.int64(1) << 40
-    enc = np.where(mstart, pos * 16 + np.minimum(mlc, 15), INF)
+    enc = np.where(head, pos * 16 + np.minimum(mlc, 15), INF)
     enc = suffix_min(enc, INF)
     next_start = np.where(enc == INF, n, np.minimum(enc >> 4, n))
     next_nib = np.where(enc == INF, 0, enc & 15)
@@ -223,12 +317,13 @@ def phase4_geometry(block, mlen, moff, is_start, n: int):
     long_run = anchor & (L >= LONG_LIT)
     assert np.all(gap255[~long_run] == 0)
 
-    ml_ext = mstart & (mlc >= 15)
+    ml_ext = head & (mlc >= 15)
     token = np.where(anchor, (np.minimum(L, 15) << 4) | next_nib, 0)
 
-    # gapless (core) content length per position
+    # gapless (core) content length per position (continuations emit
+    # nothing: only heads carry token/offset/ml-ext bytes)
     injH_core = np.where(anchor, 1 + np.minimum(e, 1), 0)  # tok + litrem?
-    injT = np.where(mstart, 2 + np.where(ml_ext, 1, 0), 0)
+    injT = np.where(head, 2 + np.where(ml_ext, 1, 0), 0)
     glen = np.where(kept, 1, 0) + injH_core + injT
     glen = np.where(in_range, glen, 0)
 
@@ -240,7 +335,7 @@ def phase4_geometry(block, mlen, moff, is_start, n: int):
     gap_before = prefix_sum_excl(gap_here)  # gaps strictly before p
     used = core_used + int(gap_here.sum())
 
-    return dict(kept=kept, anchor=anchor, mstart=mstart, token=token,
+    return dict(kept=kept, anchor=anchor, mstart=head, token=token,
                 litrem=litrem, e=e, gap255=gap255, long_run=long_run,
                 mlc=mlc, ml_ext=ml_ext, glen=glen, core_pos=core_pos,
                 core_used=core_used, gap_here=gap_here,
@@ -357,12 +452,14 @@ def phase6_expand(core: np.ndarray, geo, n: int) -> bytes:
 
 # ---------------------------------------------------------------------------
 
-def encode_block(block: np.ndarray, n: int, W: int = W_DEFAULT) -> bytes:
+def encode_block(block: np.ndarray, n: int, W: int = W_DEFAULT,
+                 tier_b: bool = True) -> bytes:
     """Full twin pipeline for one 64KB (or shorter) block."""
     assert block.size == BLOCK
     v = phase0_words(block)
     so = phase1_nearest_offset(v, n, W)
-    mlen, moff = phase2_lengths(so, n)
+    so8 = phase1b_sorted_candidates(v, n) if tier_b else None
+    mlen, moff = phase2_lengths(so, n, so8)
     is_start = phase3_parse(mlen)
     geo = phase4_geometry(block, mlen, moff, is_start, n)
     core = phase5_core(block, moff, geo, n)
