@@ -1,26 +1,30 @@
 #!/usr/bin/env python3
 """Benchmark driver: prints ONE JSON line for the graft driver.
 
-Headline metric: the ON-DEVICE LZ4 encode pipeline (fused Pallas
-find+parse+emit when available, else the batched jnp pipeline) on the
-deterministic mixed corpus, verified bit-exact by round-tripping every
-block. The headline `value` is ALWAYS the device tier — never the host
-C++ tier (that is reported separately in detail.host_native_MBps).
+Headline metric: the ON-DEVICE LZ4 encode pipeline (tier-B lax.sort
+matcher + six fused Pallas stages) over the full 32 MiB deterministic
+mixed corpus, verified bit-exact by round-tripping every block. The
+headline `value` is ALWAYS the device tier — never the host C++ tier
+(reported separately in detail.host_native_MBps).
 
 vs_baseline: the reference 7zz binary is re-measured IN THE SAME RUN
 (`7zz a -mmt=1 -m0=lz4:x1` over the same bytes on this machine,
 best-of-3) when a built binary can be found; otherwise the recorded
 2026-08-17 local measurement is used and detail.baseline_source says so.
 
-Timing is honest-by-construction: every timed iteration ends with a
-device->host fetch of the per-block used-bytes vector, which forces the
-computation to complete (jax block_until_ready alone does NOT
-synchronize on the axon remote-TPU platform; see docs/PERFORMANCE.md).
+Timing notes (docs/PERFORMANCE.md): the axon remote-TPU platform has a
+~27 ms per-dispatch floor and `block_until_ready` does not synchronize,
+so every timed iteration ends with a device->host fetch of the
+per-block used-bytes vector, and the payload is the full 32 MiB to
+amortize the floor. Compilation (~6 min cold for the Mosaic stages) is
+done before timing inside the child, with the jax persistent
+compilation cache at /tmp/jaxcache so reruns are warm.
 
-The axon dev tunnel / TPU worker can hang or crash; each attempt runs in
-an isolated subprocess with a hard timeout, falling back from the TPU to
-the host-CPU JAX build of the identical pipeline, so the driver always
-gets a result line (detail.device_platform records which ran).
+The axon dev tunnel / TPU worker can hang or crash; each attempt runs
+in an isolated subprocess with a hard timeout, falling back from the
+TPU to a host-CPU JAX build of the identical pipeline (smaller slice:
+XLA-CPU executes the same math far slower), so the driver always gets a
+result line (detail.device_platform records which ran).
 """
 
 import json
@@ -33,9 +37,9 @@ import time
 
 import numpy as np
 
-# Recorded fallback (BASELINE.md, 2026-08-17, this machine class) — used
-# ONLY when no reference binary can be found to re-measure in-run.
-RECORDED_REF_LZ4_ENC_MBS = 250.6
+# Recorded fallback (BASELINE.md, 2026-08-17, this machine class, full
+# 32 MiB corpus) — used ONLY when no reference binary is found in-run.
+RECORDED_REF_LZ4_ENC_MBS = 124.2
 
 REF_BINARY_CANDIDATES = (
     os.environ.get("TPU7Z_REF_7ZZ", ""),
@@ -45,9 +49,11 @@ REF_BINARY_CANDIDATES = (
 
 CORPUS_PATH = "/tmp/tpu7z_bench_corpus.bin"
 CORPUS_SIZE = 32 << 20
-BENCH_MB = 4
-TPU_TIMEOUT = 480
-CPU_TIMEOUT = 480
+TPU_MB = 32          # full corpus on the TPU tier
+CPU_MB = 2           # XLA-CPU fallback runs the same math ~100x slower
+TPU_TIMEOUT = 1800   # cold Mosaic compile of the 6-stage chain is ~6 min
+CPU_TIMEOUT = 900
+W = int(os.environ.get("TPU7Z_BENCH_W", "64"))
 
 
 def get_corpus() -> bytes:
@@ -94,6 +100,29 @@ def measure_reference(data: bytes):
         return best, csize, binary
 
 
+def _verify_blocks(data, outh, usedh, N):
+    """Round-trip every block; returns total compressed bytes."""
+    from tpu7z import native
+    lib = native._load()
+    from tpu7z.models.lz4 import block as blockmod
+    import ctypes
+    comp_total = 0
+    B = len(usedh)
+    dst = ctypes.create_string_buffer(N) if lib is not None else None
+    for b in range(B):
+        comp = outh[b, : usedh[b]].astype(np.uint8).tobytes()
+        comp_total += min(len(comp), N + 4)
+        orig = data[b * N:(b + 1) * N]
+        if lib is not None:
+            r = lib.tz_lz4_decode(comp, len(comp), dst, N)
+            ok = r == N and dst.raw[:N] == orig
+        else:
+            ok = blockmod.decompress_block(comp, dst_size=N) == orig
+        if not ok:
+            raise RuntimeError(f"round-trip mismatch block {b}")
+    return comp_total
+
+
 def child(platform: str) -> int:
     import jax
     if platform == "cpu":
@@ -101,43 +130,54 @@ def child(platform: str) -> int:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     os.makedirs("/tmp/jaxcache", exist_ok=True)
     import jax.numpy as jnp
-    from tpu7z.ops import lz4_pallas, lz4_plane
-    from tpu7z.models.lz4 import block as blockmod
+    from tpu7z.ops import lz4_plane as P
 
-    data = get_corpus()[: BENCH_MB << 20]
-    N = lz4_plane.BLOCK
+    mb = TPU_MB if platform != "cpu" else CPU_MB
+    data = get_corpus()[: mb << 20]
+    N = P.BLOCK
     B = len(data) // N
     blocks = jnp.asarray(
         np.frombuffer(data[: B * N], dtype=np.uint8).reshape(B, N))
     blocks = jax.device_put(blocks)
     ns = jnp.full((B,), N, jnp.int32)
-    W = int(os.environ.get("TPU7Z_BENCH_W", "512"))
 
-    # one fused Pallas launch encodes every block; the timed fetch is
-    # the (B,) used vector only (compressed bytes stay in HBM, as they
-    # would feed the next pipeline stage)
-    out, used = lz4_pallas.encode_blocks(blocks, ns, W=W)
+    if platform == "cpu":
+        # identical math, XLA-CPU build (Mosaic kernels are TPU-only;
+        # interpret mode is ~1000x slower, so use the plane pipeline)
+        planes = blocks.reshape(B, P.NROWS, P.ROW).astype(jnp.int32)
+
+        @jax.jit
+        def encode(planes, ns):
+            f = lambda args: P.encode_block_planes(  # noqa: E731
+                args[0], args[1], W=W)
+            outs, useds = jax.lax.map(f, (planes, ns))
+            return outs.reshape(B, -1), useds
+
+        run = lambda: encode(planes, ns)  # noqa: E731
+    else:
+        from tpu7z.ops import lz4_pallas
+        run = lambda: lz4_pallas.encode_blocks(blocks, ns, W=W)  # noqa
+
+    sys.stderr.write(f"[child {platform}] compiling B={B} W={W}\n")
+    t0 = time.time()
+    out, used = run()
     _ = np.asarray(used)  # compile + settle
+    sys.stderr.write(f"[child {platform}] compiled in "
+                     f"{time.time()-t0:.0f}s\n")
 
     best = 1e9
     for _i in range(3):
         t0 = time.time()
-        out, used = lz4_pallas.encode_blocks(blocks, ns, W=W)
+        out, used = run()
         usedh = np.asarray(used)  # forced device->host sync
         best = min(best, time.time() - t0)
     enc_mbs = B * N / best / 1e6
 
     # verification pass (untimed): every block must round-trip
     outh = np.asarray(out)
-    comp_total = 0
-    for b in range(B):
-        comp = outh[b, : usedh[b]].astype(np.uint8).tobytes()
-        comp_total += min(len(comp), N + 4)
-        orig = data[b * N:(b + 1) * N]
-        if blockmod.decompress_block(comp, dst_size=N) != orig:
-            raise RuntimeError(f"round-trip mismatch block {b}")
+    comp_total = _verify_blocks(data, outh, usedh, N)
     print(json.dumps({
-        "enc_mbs": enc_mbs, "comp_total": comp_total,
+        "enc_mbs": enc_mbs, "comp_total": comp_total, "bench_mb": mb,
         "device": str(jax.devices()[0])}))
     return 0
 
@@ -167,8 +207,8 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         return child(sys.argv[2])
 
-    data_len = BENCH_MB << 20
     corpus = get_corpus()  # ensure cached before timed children run
+    data_len = TPU_MB << 20
 
     ref = None
     try:
@@ -220,23 +260,28 @@ def main() -> int:
         return 0
 
     enc_mbs = result["enc_mbs"]
+    bench_bytes = result["bench_mb"] << 20
     print(json.dumps({
         "metric": "lz4_encode_MBps_per_chip",
         "value": round(enc_mbs, 1),
         "unit": "MB/s",
         "vs_baseline": round(enc_mbs / ref_mbs, 3),
         "detail": {
-            "corpus_MB": data_len / 1e6,
+            "corpus_MB": result["bench_mb"],
             "headline_tier": "tpu" if platform == "tpu" else "cpu-fallback",
             "verified": "all blocks bit-exact round-trip",
             "device_MBps": round(enc_mbs, 1),
-            "device_ratio": round(data_len / result["comp_total"], 3),
+            "device_ratio": round(bench_bytes / result["comp_total"], 3),
             "device_platform": "tpu-axon" if platform == "tpu"
             else "cpu-fallback",
             "device": result["device"],
-            "timing": "forced device->host fetch per iteration",
+            "matcher_W": W,
+            "timing": "forced device->host fetch per iteration; "
+                      "32MB payload amortizes the ~27ms dispatch floor",
             "ref_MBps_same_run": round(ref_mbs, 1),
             "ref_csize": ref_csize,
+            "ref_ratio": (round(data_len / ref_csize, 3)
+                          if ref_csize else None),
             "baseline_source": baseline_source,
             "host_native_MBps": round(host[0], 1) if host else None,
             "host_native_ratio": round(host[1], 3) if host else None,

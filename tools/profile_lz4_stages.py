@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 os.makedirs("/tmp/jaxcache", exist_ok=True)
@@ -97,7 +99,8 @@ def main():
     cshape = (B, P.CORE_ROWS, P.ROW)
     oshape = (B, P.OUT_ROWS + 1, P.ROW)
 
-    def call(kern, ins, inshapes, outshapes):
+    def call(kern, inshapes, outshapes):
+        """Build the jitted stage ONCE (per-call rebuilds retrace)."""
         multi = isinstance(outshapes, list)
         f = pl.pallas_call(
             kern, grid=(B,),
@@ -111,23 +114,24 @@ def main():
                            jnp.int8 if outshapes is oshape else jnp.int32)),
             compiler_params=LP._COMPILER,
         )
-        return jax.jit(f)(*ins)
+        return jax.jit(f)
+
+    f_a1 = call(functools.partial(LP._kernel_a1, W=W),
+                [bshape, so8shape], mmshape)
+    f_a2 = call(LP._kernel_a2, [mmshape], stshape)
+    f_a3 = call(LP._kernel_a3, [bshape, mmshape, stshape],
+                [gbshape, gcshape])
+    f_b1 = call(LP._kernel_b1, [bshape, gbshape], clshape)
+    f_b2 = call(LP._kernel_b2, [clshape], cshape)
+    f_c = call(LP._kernel_c, [gcshape, cshape], oshape)
 
     so8 = timed("a0_tierB_sort", tierb, blocks, ns)
-    mm = timed("a1_match", lambda b, s: call(
-        functools.partial(LP._kernel_a1, W=W), (b, s),
-        [bshape, so8shape], mmshape), blocks3, so8)
-    st = timed("a2_parse", lambda m: call(
-        LP._kernel_a2, (m,), [mmshape], stshape), mm)
-    geob, geoc = timed("a3_geometry", lambda b, m, s: call(
-        LP._kernel_a3, (b, m, s), [bshape, mmshape, stshape],
-        [gbshape, gcshape]), blocks3, mm, st)
-    cl = timed("b1_pyr_lo", lambda b, g: call(
-        LP._kernel_b1, (b, g), [bshape, gbshape], clshape), blocks3, geob)
-    core = timed("b2_pyr_hi", lambda c: call(
-        LP._kernel_b2, (c,), [clshape], cshape), cl)
-    outm = timed("c_expand", lambda g, c: call(
-        LP._kernel_c, (g, c), [gcshape, cshape], oshape), geoc, core)
+    mm = timed("a1_match", f_a1, blocks3, so8)
+    st = timed("a2_parse", f_a2, mm)
+    geob, geoc = timed("a3_geometry", f_a3, blocks3, mm, st)
+    cl = timed("b1_pyr_lo", f_b1, blocks3, geob)
+    core = timed("b2_pyr_hi", f_b2, cl)
+    outm = timed("c_expand", f_c, geoc, core)
 
     # full fused pipeline for the total
     out, used = LP.encode_blocks(blocks, ns, W=W)
