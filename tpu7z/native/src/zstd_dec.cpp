@@ -18,6 +18,16 @@
 #include <cstdlib>
 #include <vector>
 
+#ifdef TZ_PROF
+// dev-only phase counters (cycles), exposed for tools/profile_zstd_dec
+#include <x86intrin.h>
+extern "C" unsigned long long tz_prof_lit, tz_prof_seq, tz_prof_tab, tz_prof_nseq, tz_prof_nlit;
+unsigned long long tz_prof_lit = 0, tz_prof_seq = 0, tz_prof_tab = 0, tz_prof_nseq = 0, tz_prof_nlit = 0;
+#define TZ_TICK() __rdtsc()
+#else
+#define TZ_TICK() 0ull
+#endif
+
 extern "C" uint64_t tz_xxh64(const uint8_t* data, size_t n, uint64_t seed);
 
 namespace zdec {
@@ -153,11 +163,15 @@ struct BackBits {
 // ---------------------------------------------------------------------------
 // FSE decode tables (fse.py read_ncount / build_dtable semantics)
 // ---------------------------------------------------------------------------
+// Packed decode entry: base<<16 | nb_bits<<8 | symbol.  base is always in
+// [0, table_size) (next_state<<nb lands in [table_size, 2*table_size)),
+// so 16 bits suffice; one 32-bit load yields all three fields.
 struct FseDTable {
-    uint8_t symbol[1 << 9];
-    uint8_t nb_bits[1 << 9];
-    int32_t base[1 << 9];
+    uint32_t ent[1 << 9];
     unsigned accuracy_log = 0;
+    uint8_t symbol(uint32_t s) const { return (uint8_t)ent[s]; }
+    uint8_t nb_bits(uint32_t s) const { return (uint8_t)(ent[s] >> 8); }
+    uint32_t base(uint32_t s) const { return ent[s] >> 16; }
 };
 
 // Parse normalized counts. counts: out array of size max_symbol+1 (int16).
@@ -244,17 +258,14 @@ static void build_dtable(const int16_t* counts, unsigned nsym,
         unsigned s = spread[u];
         int next_state = symbol_next[s]++;
         unsigned nb = accuracy_log - (unsigned)highbit32((uint32_t)next_state);
-        dt.symbol[u] = (uint8_t)s;
-        dt.nb_bits[u] = (uint8_t)nb;
-        dt.base[u] = (int32_t)((next_state << nb) - table_size);
+        uint32_t base = (uint32_t)((next_state << nb) - table_size);
+        dt.ent[u] = (base << 16) | (nb << 8) | s;
     }
 }
 
 static void build_rle_dtable(unsigned symbol, FseDTable& dt) {
     dt.accuracy_log = 0;
-    dt.symbol[0] = (uint8_t)symbol;
-    dt.nb_bits[0] = 0;
-    dt.base[0] = 0;
+    dt.ent[0] = symbol;
 }
 
 // ---------------------------------------------------------------------------
@@ -287,11 +298,11 @@ static unsigned fse_decode_weights(const uint8_t* payload, size_t n,
     for (unsigned i = 0;; i++) {
         if (count > 255) throw Err{};
         uint32_t s = st[i & 1];
-        weights[count++] = dt.symbol[s];
-        st[i & 1] = (uint32_t)(dt.base[s] + (int32_t)br.read(dt.nb_bits[s]));
+        weights[count++] = dt.symbol(s);
+        st[i & 1] = dt.base(s) + br.read(dt.nb_bits(s));
         if (br.overread()) {
             if (count > 255) throw Err{};
-            weights[count++] = dt.symbol[st[(i + 1) & 1]];
+            weights[count++] = dt.symbol(st[(i + 1) & 1]);
             return count;
         }
     }
@@ -402,6 +413,80 @@ static void huf_decode_stream(const uint8_t* src, size_t n, const HufDTable& ht,
     }
     // allowed to end with bitpos >= 0 slack (padding) but not deep overread
     if (br.bitpos < -(std::ptrdiff_t)tl) throw Err{};
+}
+
+// Decode the 4-stream literal section with the streams interleaved so the
+// four serial bit-chain dependency chains overlap in the CPU pipeline —
+// the ILP idea of the reference's HUF_decompress4X loop
+// (huf_decompress.c:602), realised independently on top of this file's
+// window-load scheme. Streams 0..2 decode `n123` symbols, stream 3 `n4`.
+static void huf_decode_4streams(const uint8_t* const parts[4],
+                                const size_t plens[4], size_t n123, size_t n4,
+                                const HufDTable& ht, uint8_t* out) {
+    BackBits br[4];
+    for (int s = 0; s < 4; s++)
+        if (!br[s].init(parts[s], plens[s])) throw Err{};
+    const unsigned tl = ht.table_log;
+    const uint16_t* tab = ht.table;
+    const uint32_t mask = (1u << tl) - 1;
+    uint8_t* o0 = out;
+    uint8_t* o1 = out + n123;
+    uint8_t* o2 = out + 2 * n123;
+    uint8_t* o3 = out + 3 * n123;
+    std::ptrdiff_t p0 = br[0].bitpos, p1 = br[1].bitpos;
+    std::ptrdiff_t p2 = br[2].bitpos, p3 = br[3].bitpos;
+    const uint8_t* s0 = parts[0];
+    const uint8_t* s1 = parts[1];
+    const uint8_t* s2 = parts[2];
+    const uint8_t* s3 = parts[3];
+    size_t i = 0;
+    // interleaved fast path: 4 symbols per stream per round (16 total)
+    while (i + 4 <= n4 && p0 >= 57 && p1 >= 57 && p2 >= 57 && p3 >= 57) {
+        size_t B0 = (size_t)(p0 - 57) >> 3, B1 = (size_t)(p1 - 57) >> 3;
+        size_t B2 = (size_t)(p2 - 57) >> 3, B3 = (size_t)(p3 - 57) >> 3;
+        uint64_t a0, a1, a2, a3;
+        std::memcpy(&a0, s0 + B0, 8);
+        std::memcpy(&a1, s1 + B1, 8);
+        std::memcpy(&a2, s2 + B2, 8);
+        std::memcpy(&a3, s3 + B3, 8);
+        unsigned r0 = (unsigned)(p0 - 8 * B0), r1 = (unsigned)(p1 - 8 * B1);
+        unsigned r2 = (unsigned)(p2 - 8 * B2), r3 = (unsigned)(p3 - 8 * B3);
+#define TZ_HUF_STEP(k)                                        \
+        {                                                     \
+            uint16_t e0 = tab[(a0 >> (r0 - tl)) & mask];      \
+            uint16_t e1 = tab[(a1 >> (r1 - tl)) & mask];      \
+            uint16_t e2 = tab[(a2 >> (r2 - tl)) & mask];      \
+            uint16_t e3 = tab[(a3 >> (r3 - tl)) & mask];      \
+            r0 -= e0 >> 8; r1 -= e1 >> 8;                     \
+            r2 -= e2 >> 8; r3 -= e3 >> 8;                     \
+            o0[i + k] = (uint8_t)e0; o1[i + k] = (uint8_t)e1; \
+            o2[i + k] = (uint8_t)e2; o3[i + k] = (uint8_t)e3; \
+        }
+        TZ_HUF_STEP(0)
+        TZ_HUF_STEP(1)
+        TZ_HUF_STEP(2)
+        TZ_HUF_STEP(3)
+#undef TZ_HUF_STEP
+        p0 = 8 * B0 + r0; p1 = 8 * B1 + r1;
+        p2 = 8 * B2 + r2; p3 = 8 * B3 + r3;
+        i += 4;
+    }
+    br[0].bitpos = p0; br[1].bitpos = p1;
+    br[2].bitpos = p2; br[3].bitpos = p3;
+    // per-stream tails (slow, bounds-checked reads)
+    const size_t want[4] = {n123, n123, n123, n4};
+    uint8_t* outs[4] = {o0, o1, o2, o3};
+    for (int s = 0; s < 4; s++) {
+        size_t j = i;
+        // stream 3 may have fewer symbols than the interleave bound
+        if (j > want[s]) throw Err{};
+        while (j < want[s]) {
+            uint16_t e = tab[br[s].peek(tl)];
+            outs[s][j++] = (uint8_t)e;
+            br[s].consume(e >> 8);
+        }
+        if (br[s].bitpos < -(std::ptrdiff_t)tl) throw Err{};
+    }
 }
 
 // ---------------------------------------------------------------------------
@@ -551,13 +636,19 @@ static size_t decode_literals(const uint8_t* src, size_t n, DecState& st,
         const uint8_t* parts[4] = {body, body + s1, body + s1 + s2,
                                    body + s1 + s2 + s3};
         size_t plens[4] = {s1, s2, s3, bn - s1 - s2 - s3};
-        size_t counts[4] = {n123, n123, n123, n4};
-        size_t off = 0;
-        for (int k = 0; k < 4; k++) {
-            if (counts[k])
-                huf_decode_stream(parts[k], plens[k], st.huf,
-                                  st.lits.data() + off, counts[k]);
-            off += counts[k];
+        if (n4 == 0) {
+            // degenerate tiny-literal case: decode streams serially
+            size_t counts[4] = {n123, n123, n123, n4};
+            size_t off = 0;
+            for (int k = 0; k < 4; k++) {
+                if (counts[k])
+                    huf_decode_stream(parts[k], plens[k], st.huf,
+                                      st.lits.data() + off, counts[k]);
+                off += counts[k];
+            }
+        } else {
+            huf_decode_4streams(parts, plens, n123, n4, st.huf,
+                                st.lits.data());
         }
     }
     return hdr + csize;
@@ -597,7 +688,14 @@ static size_t decode_block(const uint8_t* src, size_t n, DecState& st,
                            uint8_t* out, size_t op, size_t cap,
                            size_t frame_base) {
     size_t lit_size = 0;
+#ifdef TZ_PROF
+    unsigned long long tz_t0 = TZ_TICK();
+#endif
     size_t used = decode_literals(src, n, st, &lit_size);
+#ifdef TZ_PROF
+    unsigned long long tz_t1 = TZ_TICK();
+    tz_prof_lit += tz_t1 - tz_t0;
+#endif
     if (used > n) throw Err{};
     const uint8_t* sp = src + used;
     size_t sn = n - used;
@@ -640,6 +738,10 @@ static size_t decode_block(const uint8_t* src, size_t n, DecState& st,
     pos = read_seq_table(ml_mode, sp, sn, pos, ML_DEF_NORM, 53, 6,
                          MAX_ML_CODE, MAX_ML_LOG, st.ml, st.tables_valid);
     st.tables_valid = true;
+#ifdef TZ_PROF
+    unsigned long long tz_t2 = TZ_TICK();
+    tz_prof_tab += tz_t2 - tz_t1;
+#endif
     if (pos > sn) throw Err{};
 
     BackBits br;
@@ -653,36 +755,66 @@ static size_t decode_block(const uint8_t* src, size_t n, DecState& st,
     size_t lit_left = lit_size;
     uint64_t r0 = st.rep[0], r1 = st.rep[1], r2 = st.rep[2];
 
-    const uint8_t* ll_sym = st.ll.symbol;
-    const uint8_t* of_sym = st.of.symbol;
-    const uint8_t* ml_sym = st.ml.symbol;
-    const uint8_t* ll_nb = st.ll.nb_bits;
-    const uint8_t* of_nb = st.of.nb_bits;
-    const uint8_t* ml_nb = st.ml.nb_bits;
-    const int32_t* ll_bs = st.ll.base;
-    const int32_t* of_bs = st.of.base;
-    const int32_t* ml_bs = st.ml.base;
+    const uint32_t* llt = st.ll.ent;
+    const uint32_t* oft = st.of.ent;
+    const uint32_t* mlt = st.ml.ent;
 
     for (size_t i = 0; i < nseq; i++) {
-        unsigned ll_code = ll_sym[ll_state];
-        unsigned of_code = of_sym[of_state];
-        unsigned ml_code = ml_sym[ml_state];
+        // one packed load per state: symbol | nb_bits<<8 | base<<16
+        uint32_t el = llt[ll_state];
+        uint32_t eo = oft[of_state];
+        uint32_t em = mlt[ml_state];
+        unsigned ll_code = el & 0xFF;
+        unsigned of_code = eo & 0xFF;
+        unsigned ml_code = em & 0xFF;
         if (of_code > MAX_OF_CODE) throw Err{};
+        unsigned ofb = of_code;
+        unsigned mlb = ML_BITS[ml_code];
+        unsigned llb = LL_BITS[ll_code];
 
         uint32_t vof, vml, vll;
-        br.read3(of_code, ML_BITS[ml_code], LL_BITS[ll_code],
-                 &vof, &vml, &vll);
+        if (i + 1 < nseq) {
+            unsigned nbl = (el >> 8) & 0xFF;
+            unsigned nbm = (em >> 8) & 0xFF;
+            unsigned nbo = (eo >> 8) & 0xFF;
+            unsigned tot = ofb + mlb + llb + nbl + nbm + nbo;
+            uint32_t bll, bml, bof;
+            if (br.bitpos >= 57 && tot <= 57) {
+                // all six fields of this sequence from ONE 8-byte window
+                // (bitpos>=57 guarantees B+8 <= len; see huf fast path)
+                size_t B = (size_t)(br.bitpos - 57) >> 3;
+                uint64_t acc;
+                std::memcpy(&acc, br.data + B, 8);
+                unsigned c = (unsigned)(br.bitpos - 8 * B);
+                // zero-width fields: mask is 0, (c&63) keeps the shift
+                // defined when c == 64
+                c -= ofb;
+                vof = (uint32_t)((acc >> (c & 63)) & ((1ull << ofb) - 1));
+                c -= mlb;
+                vml = (uint32_t)((acc >> (c & 63)) & ((1ull << mlb) - 1));
+                c -= llb;
+                vll = (uint32_t)((acc >> (c & 63)) & ((1ull << llb) - 1));
+                c -= nbl;
+                bll = (uint32_t)((acc >> (c & 63)) & ((1ull << nbl) - 1));
+                c -= nbm;
+                bml = (uint32_t)((acc >> (c & 63)) & ((1ull << nbm) - 1));
+                c -= nbo;
+                bof = (uint32_t)((acc >> (c & 63)) & ((1ull << nbo) - 1));
+                br.bitpos -= tot;
+            } else {
+                br.read3(ofb, mlb, llb, &vof, &vml, &vll);
+                br.read3(nbl, nbm, nbo, &bll, &bml, &bof);
+            }
+            ll_state = (el >> 16) + bll;
+            ml_state = (em >> 16) + bml;
+            of_state = (eo >> 16) + bof;
+        } else {
+            // final sequence: states are not advanced past the last read
+            br.read3(ofb, mlb, llb, &vof, &vml, &vll);
+        }
         uint64_t of_value = ((uint64_t)1 << of_code) + vof;
         uint64_t ml = ML_BASE[ml_code] + vml;
         uint64_t ll = LL_BASE[ll_code] + vll;
-        if (i + 1 < nseq) {
-            uint32_t b1, b2, b3;
-            br.read3(ll_nb[ll_state], ml_nb[ml_state], of_nb[of_state],
-                     &b1, &b2, &b3);
-            ll_state = (uint32_t)(ll_bs[ll_state] + (int32_t)b1);
-            ml_state = (uint32_t)(ml_bs[ml_state] + (int32_t)b2);
-            of_state = (uint32_t)(of_bs[of_state] + (int32_t)b3);
-        }
 
         // resolve repeat offsets (sequences.py resolve_offsets)
         uint64_t off;
@@ -773,12 +905,44 @@ static size_t decode_block(const uint8_t* src, size_t n, DecState& st,
         op += lit_left;
     }
     st.rep[0] = r0; st.rep[1] = r1; st.rep[2] = r2;
+#ifdef TZ_PROF
+    tz_prof_seq += TZ_TICK() - tz_t2;
+    tz_prof_nseq += nseq;
+    tz_prof_nlit += lit_size;
+#endif
     return op;
 }
 
+struct DstSmall {};  // thrown when a fixed-capacity sink is exceeded
+
+// Output sink: either wraps the caller's fixed buffer (owned = false;
+// overflow throws DstSmall) or a malloc/realloc-grown buffer with NO
+// zero-fill — a plain std::vector resize memsets every grown byte,
+// which costs a full extra memory pass on large outputs.
+struct Sink {
+    uint8_t* p = nullptr;
+    size_t cap = 0;
+    size_t size = 0;  // logical bytes written (across frames)
+    bool owned = false;
+
+    void ensure(size_t need) {
+        if (need <= cap) return;
+        if (!owned) throw DstSmall{};
+        size_t ncap = cap + (cap >> 1) + (1u << 20);
+        if (ncap < need) ncap = need;
+        uint8_t* np = (uint8_t*)std::realloc(p, ncap);
+        if (!np) throw Err{};
+        p = np;
+        cap = ncap;
+    }
+    ~Sink() {
+        if (owned) std::free(p);
+    }
+};
+
 // Decode one zstd frame at src; appends to out. Returns bytes consumed.
 static size_t decode_frame(const uint8_t* src, size_t n,
-                           std::vector<uint8_t>& out, bool verify) {
+                           Sink& out, bool verify) {
     if (n < 8) throw Err{};
     uint32_t magic = rd32le(src);
     if (magic >= 0x184D2A50u && magic <= 0x184D2A5Fu) {
@@ -835,9 +999,9 @@ static size_t decode_frame(const uint8_t* src, size_t n,
         if (content_size > (1ull << 40)) throw Err{};
     }
 
-    size_t base_op = out.size();
-    if (have_csize) out.resize(base_op + content_size + 32);
-    else out.resize(base_op + (1u << 20));
+    size_t base_op = out.size;
+    if (have_csize) out.ensure(base_op + content_size + 32);
+    else out.ensure(base_op + (1u << 20));
     size_t op = base_op;
 
     DecState st;
@@ -855,8 +1019,8 @@ static size_t decode_frame(const uint8_t* src, size_t n,
         size_t bsize = bh >> 3;
         if (btype == 3) throw Err{};
         // ensure capacity for the worst case (decoded block <= 128K)
-        if (op + (128 * 1024) + 64 > out.size())
-            out.resize(op + (op - base_op) + (1u << 20));
+        if (op + (128 * 1024) + 64 > out.cap)
+            out.ensure(op + (op - base_op) + (1u << 20));
         // RFC 8878: Block_Maximum_Size caps every block type, including
         // raw and RLE (bsize is the regenerated size for RLE). Without
         // this check a crafted 21-bit bsize could overrun the 128K+64
@@ -864,20 +1028,20 @@ static size_t decode_frame(const uint8_t* src, size_t n,
         if (bsize > block_cap) throw Err{};
         if (btype == 0) {  // raw
             if (pos + bsize > n) throw Err{};
-            std::memcpy(out.data() + op, src + pos, bsize);
+            std::memcpy(out.p + op, src + pos, bsize);
             op += bsize;
             pos += bsize;
         } else if (btype == 1) {  // RLE
             if (pos + 1 > n) throw Err{};
-            std::memset(out.data() + op, src[pos], bsize);
+            std::memset(out.p + op, src[pos], bsize);
             op += bsize;
             pos += 1;
         } else {
             if (bsize > block_cap) throw Err{};
             if (pos + bsize > n) throw Err{};
             size_t op_before = op;
-            op = decode_block(src + pos, bsize, st, out.data(), op,
-                              out.size(), base_op);
+            op = decode_block(src + pos, bsize, st, out.p, op,
+                              out.cap, base_op);
             if (op - op_before > 128 * 1024) throw Err{};  // RFC block cap
             pos += bsize;
         }
@@ -885,13 +1049,13 @@ static size_t decode_frame(const uint8_t* src, size_t n,
     }
 
     if (have_csize && op - base_op != content_size) throw Err{};
-    out.resize(op);
+    out.size = op;
     if (checksum) {
         if (pos + 4 > n) throw Err{};
         uint32_t want = rd32le(src + pos);
         pos += 4;
         if (verify) {
-            uint32_t got = (uint32_t)tz_xxh64(out.data() + base_op,
+            uint32_t got = (uint32_t)tz_xxh64(out.p + base_op,
                                               op - base_op, 0);
             if (got != want) throw Err{};
         }
@@ -905,23 +1069,41 @@ static size_t decode_frame(const uint8_t* src, size_t n,
 // C ABI
 // ---------------------------------------------------------------------------
 
+extern "C" long long tz_zstd_decode_alloc(const uint8_t* src, size_t n,
+                                          uint8_t** out_ptr,
+                                          int verify_checksum);
+
 // Decode a concatenation of zstd frames into dst (capacity cap).
 // Returns decoded size, or a negative error code.
 extern "C" long long tz_zstd_decode(const uint8_t* src, size_t n,
                                     uint8_t* dst, size_t cap,
                                     int verify_checksum) {
+    // Fast path: decode directly into dst (zero extra memory passes).
+    // Frame slack demands (content_size + 32, 128K block headroom) can
+    // exceed a tight-but-sufficient cap; on DstSmall retry through the
+    // growable path to preserve the "fits means success" contract.
     try {
-        std::vector<uint8_t> out;
-        out.reserve(cap < (1u << 26) ? cap : (1u << 26));
+        zdec::Sink out;
+        out.p = dst;
+        out.cap = cap;
         size_t pos = 0;
         while (pos < n) {
             if (n - pos < 4) return zdec::ERR_CORRUPT;
             pos += zdec::decode_frame(src + pos, n - pos, out,
                                       verify_checksum != 0);
         }
-        if (out.size() > cap) return zdec::ERR_DST_TOO_SMALL;
-        std::memcpy(dst, out.data(), out.size());
-        return (long long)out.size();
+        return (long long)out.size;
+    } catch (zdec::DstSmall&) {
+        uint8_t* buf = nullptr;
+        long long r = tz_zstd_decode_alloc(src, n, &buf, verify_checksum);
+        if (r < 0) return r;
+        if ((size_t)r > cap) {
+            std::free(buf);
+            return zdec::ERR_DST_TOO_SMALL;
+        }
+        std::memcpy(dst, buf, (size_t)r);
+        std::free(buf);
+        return r;
     } catch (...) {
         return zdec::ERR_CORRUPT;
     }
@@ -933,18 +1115,19 @@ extern "C" long long tz_zstd_decode_alloc(const uint8_t* src, size_t n,
                                           uint8_t** out_ptr,
                                           int verify_checksum) {
     try {
-        std::vector<uint8_t> out;
+        zdec::Sink out;
+        out.owned = true;
         size_t pos = 0;
         while (pos < n) {
             if (n - pos < 4) return zdec::ERR_CORRUPT;
             pos += zdec::decode_frame(src + pos, n - pos, out,
                                       verify_checksum != 0);
         }
-        uint8_t* buf = (uint8_t*)std::malloc(out.size() ? out.size() : 1);
-        if (!buf) return zdec::ERR_CORRUPT;
-        std::memcpy(buf, out.data(), out.size());
-        *out_ptr = buf;
-        return (long long)out.size();
+        // hand the buffer to the caller (freed via tz_buf_free)
+        *out_ptr = out.p ? out.p : (uint8_t*)std::malloc(1);
+        out.p = nullptr;
+        out.owned = false;
+        return (long long)out.size;
     } catch (...) {
         return zdec::ERR_CORRUPT;
     }

@@ -856,7 +856,11 @@ static inline size_t match_len(const uint8_t* a, const uint8_t* b,
     return size_t(a - a0);
 }
 
+// candidate match for the optimal parse (ascending length)
+struct MCand { uint32_t len, off; int repidx; };  // repidx 1..3, 0 = offset
+
 struct Matcher {
+    static constexpr bool kBT = false;
     std::vector<int32_t> head;
     std::vector<int32_t> prev;
     uint32_t hl;
@@ -874,6 +878,33 @@ struct Matcher {
         uint32_t h = hash_at(i);
         prev[i] = head[h];
         head[h] = int32_t(i);
+    }
+    // search prior positions for ascending-length candidates, optionally
+    // inserting i; returns count appended to out (strictly > min_len).
+    int insert_search(size_t i, size_t end_pos, int depth, uint32_t window,
+                      MCand* out, int cap, uint32_t min_len, bool do_insert) {
+        int nc = 0;
+        if (i + 8 <= end_pos) {
+            uint32_t v = load32(base + i);
+            int32_t c = head[hash_at(i)];
+            size_t min_pos = i > window ? i - window : 0;
+            uint32_t found = min_len;
+            const uint8_t* end = base + end_pos;
+            for (int d = 0; d < depth && c >= 0 && size_t(c) >= min_pos;
+                 d++, c = prev[c]) {
+                if (load32(base + c) != v) continue;
+                if (i + found < end_pos && base[c + found] != base[i + found])
+                    continue;
+                uint32_t len = uint32_t(
+                    4 + match_len(base + i + 4, base + c + 4, end));
+                if (len > found && nc < cap) {
+                    out[nc++] = {len, uint32_t(i - c), 0};
+                    found = len;
+                }
+            }
+        }
+        if (do_insert && i + 4 <= n) insert(i);
+        return nc;
     }
     // best chain match at i (capped at `end_pos`); returns length, sets off
     inline size_t best(size_t i, size_t end_pos, int depth, uint32_t window,
@@ -897,6 +928,171 @@ struct Matcher {
             }
         }
         return best_len >= kMinChainMatch ? best_len : 0;
+    }
+};
+
+// Binary-tree match finder for the optimal-parse tier.  Each hash bucket
+// holds a binary tree of positions ordered by suffix; inserting a new
+// position re-hangs the walked nodes beneath it, so a single walk both
+// inserts and collects the nearest-offset candidate per strictly longer
+// length — exactly the ascending candidate list the DP relaxes.  Role
+// analog of the reference's BT finders (C/zstd/zstd_opt.c
+// ZSTD_insertBtAndGetAllMatches, C/LzFind.c GetMatchesSpec1), re-derived
+// from the classic suffix-ordered-tree scheme rather than translated.
+struct BTMatcher {
+    static constexpr bool kBT = true;
+    static constexpr int kH3Log = 17;
+    static constexpr uint32_t kH3MaxOff = 1u << 17;
+    std::vector<int32_t> head;  // hash -> tree root (most recent pos)
+    std::vector<int32_t> lr;    // lr[2i] = left child, lr[2i+1] = right
+    std::vector<int32_t> head3; // 3-byte hash -> most recent pos
+    uint32_t hl;
+    const uint8_t* base;
+    size_t n;
+
+    void init(const uint8_t* src, size_t len, int hash_log) {
+        base = src; n = len; hl = hash_log;
+        head.assign(size_t(1) << hl, -1);
+        lr.assign(2 * len + 2, -1);
+        head3.assign(size_t(1) << kH3Log, -1);
+    }
+    inline uint32_t hash_at(size_t i) const {
+        return (load32(base + i) * 2654435761u) >> (32 - hl);
+    }
+    inline uint32_t hash3_at(size_t i) const {
+        return ((load32(base + i) & 0xFFFFFFu) * 2654435761u)
+               >> (32 - kH3Log);
+    }
+    // Length-3 stride matches (structured records, e.g. fixed-size binary
+    // rows) are invisible to a 4-byte-min finder but carry entire blocks
+    // once rep-chained; the reference keeps a dedicated 3-byte hash for
+    // exactly this (zstd_opt.c ZSTD_insertAndFindFirstIndexHash3).  One
+    // most-recent slot, small offsets only (long-offset 3-byte matches
+    // never price in).
+    int probe3(size_t i, size_t end_pos, MCand* out, uint32_t min_len,
+               bool do_insert) {
+        int nc = 0;
+        if (i + 3 <= end_pos && i + 4 <= n) {
+            int32_t c = head3[hash3_at(i)];
+            if (c >= 0 && size_t(c) < i && i - size_t(c) <= kH3MaxOff &&
+                out != nullptr) {
+                const uint8_t* a = base + i;
+                const uint8_t* b = base + c;
+                if (a[0] == b[0] && a[1] == b[1] && a[2] == b[2]) {
+                    uint32_t len = uint32_t(
+                        3 + match_len(a + 3, b + 3, base + end_pos));
+                    if (len > min_len && len >= 3)
+                        out[nc++] = {len, uint32_t(i - size_t(c)), 0};
+                }
+            }
+            if (do_insert) head3[hash3_at(i)] = int32_t(i);
+        }
+        return nc;
+    }
+    // insert-only walk (match interiors, skipped stretches)
+    inline void insert(size_t i) {
+        insert_search(i, n, 256, 0xFFFFFFFFu, nullptr, 0, 0xFFFFFFFFu, true);
+    }
+    int insert_search(size_t i, size_t end_pos, int depth, uint32_t window,
+                      MCand* out, int cap, uint32_t min_len, bool do_insert) {
+        if (i + 4 > n) return 0;
+        if (!do_insert)
+            return search_ro(i, end_pos, depth, window, out, cap, min_len);
+        int nc = probe3(i, end_pos, out, min_len, true);
+        if (nc) min_len = out[0].len;
+        uint32_t h = hash_at(i);
+        int32_t cur = head[h];
+        head[h] = int32_t(i);
+        int32_t* pr = &lr[2 * i + 1];  // subtree of suffixes > suffix(i)
+        int32_t* pl = &lr[2 * i];      // subtree of suffixes < suffix(i)
+        size_t len_l = 0, len_r = 0;   // proven common prefixes at bounds
+        size_t min_pos = i > window ? i - window : 0;
+        // tree ordering must compare true suffixes (to input end) or later
+        // inserts see a mis-ordered tree; recorded candidate lengths are
+        // capped at the parse limit end_pos instead.
+        const uint8_t* lim = base + n;
+        size_t max_rec = end_pos - i;
+        uint32_t best = min_len;
+        for (;;) {
+            if (depth-- == 0 || cur < 0 || size_t(cur) < min_pos) {
+                *pl = -1;
+                *pr = -1;
+                break;
+            }
+            size_t len = std::min(len_l, len_r);
+            len += match_len(base + i + len, base + cur + len, lim);
+            size_t rec = len < max_rec ? len : max_rec;
+            if (out && rec > best && rec >= 4) {
+                if (nc < cap) out[nc++] = {uint32_t(rec),
+                                           uint32_t(i - size_t(cur)), 0};
+                best = uint32_t(rec);
+            }
+            if (i + len >= n) {
+                // full extension: cur's suffix prefixes i's — replace cur
+                // with its children and stop (no byte left to compare)
+                *pl = lr[2 * cur];
+                *pr = lr[2 * cur + 1];
+                break;
+            }
+            if (base[cur + len] < base[i + len]) {
+                *pl = cur;
+                pl = &lr[2 * cur + 1];
+                cur = *pl;
+                len_l = len;
+            } else {
+                *pr = cur;
+                pr = &lr[2 * cur];
+                cur = *pr;
+                len_r = len;
+            }
+        }
+        return nc;
+    }
+    // read-only descent: search without re-hanging (query positions the
+    // caller does not want indexed, e.g. lazy lookahead probes)
+    int search_ro(size_t i, size_t end_pos, int depth, uint32_t window,
+                  MCand* out, int cap, uint32_t min_len) {
+        int nc = probe3(i, end_pos, out, min_len, false);
+        if (nc) min_len = out[0].len;
+        int32_t cur = head[hash_at(i)];
+        size_t len_l = 0, len_r = 0;
+        size_t min_pos = i > window ? i - window : 0;
+        const uint8_t* lim = base + n;
+        size_t max_rec = end_pos - i;
+        uint32_t best_len = min_len;
+        while (depth-- > 0 && cur >= 0 && size_t(cur) >= min_pos) {
+            size_t len = std::min(len_l, len_r);
+            len += match_len(base + i + len, base + cur + len, lim);
+            size_t rec = len < max_rec ? len : max_rec;
+            // the tree may hold positions AT or AFTER i (inserted by an
+            // earlier parse pass over this block): descend through them
+            // but never record them as candidates
+            if (out && size_t(cur) < i && rec > best_len && rec >= 4) {
+                if (nc < cap) out[nc++] = {uint32_t(rec),
+                                           uint32_t(i - size_t(cur)), 0};
+                best_len = uint32_t(rec);
+            }
+            if (i + len >= n) break;
+            if (base[cur + len] < base[i + len]) {
+                cur = lr[2 * cur + 1];
+                len_l = len;
+            } else {
+                cur = lr[2 * cur];
+                len_r = len;
+            }
+        }
+        return nc;
+    }
+    // greedy-path shim (only tiny tail blocks reach it at opt levels):
+    // longest candidate, nearest offset
+    size_t best(size_t i, size_t end_pos, int depth, uint32_t window,
+                uint32_t& off) {
+        if (i + 8 > end_pos || i + 4 > n) return 0;
+        MCand c[32];
+        int nc = search_ro(i, end_pos, depth, window, c, 32, 3);
+        if (!nc) return 0;
+        off = c[nc - 1].off;
+        return c[nc - 1].len >= kMinChainMatch ? c[nc - 1].len : 0;
     }
 };
 
@@ -933,15 +1129,29 @@ struct Costs {
     int32_t lit[256];   // bits << 5
     int32_t llp[36], mlp[53], ofp[32];
     void defaults(const uint8_t* blk, size_t blen) {
-        uint32_t h[256] = {0};
-        for (size_t i = 0; i < blen; i++) h[blk[i]]++;
-        for (int s = 0; s < 256; s++) {
-            double p = h[s] ? double(h[s]) / blen : 1.0 / (blen + 256);
-            lit[s] = int32_t(std::max(1.0, -std::log2(p)) * 32);
-        }
+        // flat ~6-bit literal seed (the reference's zop_predef posture,
+        // zstd_opt.c ZSTD_rescaleFreqs): a data-adaptive literal price
+        // here lands the parse in a literal-favoring equilibrium where
+        // 3-byte rep matches never become cheap; the per-block second
+        // pass then re-prices from the match-seeded statistics.
+        (void)blk;
+        (void)blen;
+        for (int s = 0; s < 256; s++) lit[s] = 6 * 32;
         for (int c = 0; c < 36; c++) llp[c] = (5 + kLLbits[c]) << 5;
         for (int c = 0; c < 53; c++) mlp[c] = (5 + kMLbits[c]) << 5;
         for (int c = 0; c < 32; c++) ofp[c] = (5 + c) << 5;
+    }
+    // estimated encoded bits of a parse under THIS table (self-consistent
+    // when the table came from from_stats of the same parse) — used to
+    // pick the best of the per-block re-pricing passes
+    int64_t parse_bits(const std::vector<Seq>& seqs,
+                       const std::vector<uint8_t>& ls) const {
+        int64_t b = 0;
+        for (uint8_t v : ls) b += lit[v];
+        for (const Seq& q : seqs)
+            b += llp[ll_code(q.ll)] + mlp[ml_code(q.ml)] +
+                 ofp[highbit(q.ofv)];
+        return b;
     }
     void from_stats(const std::vector<Seq>& seqs,
                     const std::vector<uint8_t>& lits) {
@@ -984,20 +1194,114 @@ struct Cell {
     Rep rep;         // repeat state after this cell
 };
 
+template <class MF>
 static void parse_block_optimal(const uint8_t* src, size_t n,
-                                size_t bs, size_t be, Matcher& M,
+                                size_t bs, size_t be, MF& M,
                                 size_t& next_ins, size_t ins_max,
                                 const Params& P, Rep& rep, Costs& costs,
                                 std::vector<Seq>& seqs,
-                                std::vector<uint8_t>& lits) {
+                                std::vector<uint8_t>& lits,
+                                bool try_defaults) {
     size_t blen = be - bs;
     // catch up indexing for positions skipped before this block
     for (size_t p = next_ins; p < std::min(bs, ins_max); p++) M.insert(p);
     next_ins = std::max(next_ins, bs);
     static thread_local std::vector<Cell> cells;
-    cells.assign(blen + 1, Cell{INT64_MAX, 0, 0, 0, 0, Rep{}});
-    cells[0] = Cell{0, 0, 0, 0, 0, rep};
     constexpr int kRelaxBudget = 192;
+    // Two passes per block: the first parses with carried-over (or
+    // default) prices and refreshes the statistics from its own result;
+    // the second re-parses with prices that match THIS block's data —
+    // the role of the reference's btultra2 first-block double pass
+    // (zstd_opt.c ZSTD_compressBlock_btultra2), applied every block.
+    const Rep rep_in = rep;
+    // per-position matcher candidates, found once in pass 0 and replayed
+    // in pass 1 (the tree then contains this block's own positions, so a
+    // re-query would surface self/future matches)
+    static thread_local std::vector<MCand> cand_pool;
+    static thread_local std::vector<uint32_t> cand_at;  // start index per j
+    cand_pool.clear();
+    cand_at.assign(blen + 1, 0);
+    static thread_local std::vector<Seq> best_seqs;
+    static thread_local std::vector<uint8_t> best_lits;
+    int64_t best_bits = INT64_MAX;
+    Rep best_rep = rep_in;
+    // Dominant-stride detection: structured data (fixed-size records)
+    // compresses via short matches at the record stride, but rep-probe
+    // candidates exist only while the DP path holds the stride in its
+    // repeat set — one epsilon tie-break loses it and every downstream
+    // probe misses.  Detect the block's top repeat distances up front and
+    // probe them at EVERY position as regular-offset candidates, making
+    // chain continuation path-independent (role of the reference's hash3
+    // + adaptive offset statistics, achieved statically per block).
+    uint32_t strides[3] = {0, 0, 0};
+    {
+        static thread_local std::vector<int32_t> last3;
+        last3.assign(1u << 15, -1);
+        static thread_local std::vector<uint32_t> dist_count;
+        dist_count.assign(4096, 0);
+        for (size_t p = bs; p + 4 <= be; p++) {
+            uint32_t h = ((load32(src + p) & 0xFFFFFFu) * 2654435761u)
+                         >> (32 - 15);
+            int32_t prev = last3[h];
+            last3[h] = int32_t(p);
+            if (prev < 0) continue;
+            size_t d = p - size_t(prev);
+            if (d < 4096 && src[prev] == src[p] &&
+                src[prev + 1] == src[p + 1] && src[prev + 2] == src[p + 2])
+                dist_count[d]++;
+        }
+        uint32_t cmin = uint32_t(blen / 64) + 1;
+        for (int k = 0; k < 3; k++) {
+            uint32_t bi = 0, bc = cmin;
+            for (uint32_t d = 2; d < 4096; d++) {
+                bool taken = false;
+                for (int t = 0; t < k; t++) taken |= (strides[t] == d);
+                if (!taken && dist_count[d] > bc) { bc = dist_count[d]; bi = d; }
+            }
+            strides[k] = bi;
+            if (!bi) break;
+        }
+    }
+    // Pass plan: pass 0 parses with the carried (or default) prices and
+    // fills the candidate pool; every later pass replays the pool under a
+    // different price seed.  Seeds: kDefaults re-parses from flat predef
+    // prices (after a content cut, carried stats can trap a changed block
+    // in the old content's equilibrium — yet dropping warm stats
+    // unconditionally loses where they help, so BOTH are scored);
+    // kCoverage prices matches near-free to produce a maximal-coverage
+    // parse whose statistics then seed a kRefine pass (appended when the
+    // best parse so far covers little of the block — the reference
+    // escapes this trap with on-line price updates inside zstd_opt.c,
+    // here realised as an extra seeded pass); kRefine re-parses with
+    // prices fit to the best parse so far.  Best parse by self-consistent
+    // estimated size wins (the iteration is not monotone: rep-chain
+    // candidates are path-dependent, so a later pass can collapse).
+    // kRefineLast re-parses with costs as fitted to the PREVIOUS pass's
+    // parse (used after kCoverage: refining from the coverage parse's
+    // chain-heavy statistics finds parses neither seed finds alone)
+    enum Seed : uint8_t { kCarried, kDefaults, kCoverage, kRefine,
+                          kRefineLast };
+    uint8_t plan[6] = {kCarried, kRefine, 0, 0, 0, 0};
+    int np = 2;
+    if (try_defaults) { plan[1] = kDefaults; plan[2] = kRefine; np = 3; }
+    bool coverage_tried = false;
+    int64_t best_matched = 0;  // matched bytes of the best parse
+    for (int pass = 0; pass < np; pass++) {
+    const uint8_t seed = plan[pass];
+    if (seed == kDefaults) {
+        costs.defaults(src + bs, blen);
+    } else if (seed == kRefine) {
+        costs.from_stats(best_seqs, best_lits);
+    } else if (seed == kRefineLast) {
+        // costs already hold from_stats of the previous pass's parse
+    } else if (seed == kCoverage) {
+        for (int s = 0; s < 256; s++) costs.lit[s] = 9 * 32;
+        for (int c = 0; c < 36; c++) costs.llp[c] = 0;
+        for (int c = 0; c < 53; c++) costs.mlp[c] = 32;
+        for (int c = 0; c < 32; c++) costs.ofp[c] = 32;
+    }
+    cells.assign(blen + 1, Cell{INT64_MAX, 0, 0, 0, 0, Rep{}});
+    cells[0] = Cell{0, 0, 0, 0, 0, rep_in};
     for (size_t j = 0; j < blen; j++) {
         const Cell& cur = cells[j];
         size_t pos = bs + j;
@@ -1011,8 +1315,7 @@ static void parse_block_optimal(const uint8_t* src, size_t n,
             }
         }
         // gather candidates (ascending length)
-        struct Cand { uint32_t len, off; int repidx; };  // repidx 1..3, 0=off
-        Cand cands[24];
+        MCand cands[32];
         int nc = 0;
         bool has_lit = cur.litrun > 0;
         uint32_t probes[3] = {
@@ -1029,47 +1332,49 @@ static void parse_block_optimal(const uint8_t* src, size_t n,
             if (a[0] != bb[0] || a[1] != bb[1] || a[2] != bb[2]) continue;
             uint32_t len =
                 uint32_t(3 + match_len(a + 3, bb + 3, src + be));
-            if (nc < 24) cands[nc++] = {len, o, k + 1};
+            if (nc < 3) cands[nc++] = {len, o, k + 1};
             best_rep_len = std::max(best_rep_len, len);
         }
-        if (pos + 8 <= be) {
-            uint32_t v = load32(src + pos);
-            int32_t c = M.head[M.hash_at(pos)];
-            size_t min_pos = pos > P.window ? pos - P.window : 0;
-            uint32_t found = std::max<uint32_t>(best_rep_len, 3);
-            for (int d = 0; d < P.depth && c >= 0 && size_t(c) >= min_pos;
-                 d++, c = M.prev[c]) {
-                if (load32(src + c) != v) continue;
-                // best-so-far guard: a candidate that can't exceed
-                // `found` is skipped before the O(len) scan (only
-                // strictly longer candidates are kept below anyway)
-                if (pos + found < be && src[c + found] != src[pos + found])
-                    continue;
-                uint32_t len = uint32_t(
-                    4 + match_len(src + pos + 4, src + c + 4, src + be));
-                if (len > found && nc < 24) {
-                    cands[nc++] = {len, uint32_t(pos - c), 0};
-                    found = len;
-                }
-            }
+        // static stride probes (dominant record distances, see above);
+        // skip ones already covered by a rep probe this position
+        for (int k = 0; k < 3 && strides[k]; k++) {
+            uint32_t s = strides[k];
+            if (s == probes[0] || s == probes[1] || s == probes[2]) continue;
+            if (pos < s || pos + 3 > be) continue;
+            const uint8_t* a = src + pos;
+            const uint8_t* bb = a - s;
+            if (a[0] != bb[0] || a[1] != bb[1] || a[2] != bb[2]) continue;
+            uint32_t len =
+                uint32_t(3 + match_len(a + 3, bb + 3, src + be));
+            if (nc < 6) cands[nc++] = {len, s, 0};
         }
-        if (pos >= next_ins && pos < ins_max) {
-            M.insert(pos);
-            next_ins = pos + 1;
+        if (pass == 0) {
+            bool fresh = pos >= next_ins && pos < ins_max;
+            int nm = M.insert_search(pos, be, P.depth, P.window, cands + nc,
+                                     28, 2, fresh);
+            if (fresh) next_ins = pos + 1;
+            for (int k = 0; k < nm; k++) cand_pool.push_back(cands[nc + k]);
+            cand_at[j + 1] = uint32_t(cand_pool.size());
+            nc += nm;
+        } else {
+            for (uint32_t k = cand_at[j]; k < cand_at[j + 1] && nc < 31; k++)
+                cands[nc++] = cand_pool[k];
         }
         if (!nc) continue;
-        std::sort(cands, cands + nc, [](const Cand& a, const Cand& b) {
+        std::sort(cands, cands + nc, [](const MCand& a, const MCand& b) {
             return a.len < b.len;
         });
         int32_t ll_cost = costs.llp[ll_code(uint32_t(cur.litrun))];
         int budget = kRelaxBudget;
         uint32_t lo = 3;
         for (int k = 0; k < nc; k++) {
-            const Cand& cd = cands[k];
+            const MCand& cd = cands[k];
             // price the offset code for this candidate
             uint32_t ofv = cd.repidx ? uint32_t(cd.repidx) : cd.off + 3;
             int32_t of_cost = costs.ofp[highbit(ofv)];
-            uint32_t lmin = cd.repidx ? 3 : 4;
+            // format minimum is 3 for any offset (RFC 8878 §3.1.1.3.2.1);
+            // pricing, not a gate, decides whether a 3-byte match wins
+            uint32_t lmin = 3;
             uint32_t start = std::max(lo, lmin);
             // always relax the full length; fill downward within budget
             for (uint32_t l = cd.len;
@@ -1108,23 +1413,90 @@ static void parse_block_optimal(const uint8_t* src, size_t n,
     // emit forward: literals + rep-code mapping against the true history
     seqs.clear();
     lits.clear();
+    Rep rcur = rep_in;
     size_t cursor = bs;
     for (size_t k = rev.size(); k-- > 0;) {
         Seq q = rev[k];
         lits.insert(lits.end(), src + cursor, src + cursor + q.ll);
         uint32_t off = q.ofv;
-        q.ofv = ofv_of(off, q.ll, rep);
+        q.ofv = ofv_of(off, q.ll, rcur);
         seqs.push_back(q);
         cursor += q.ll + q.ml;
     }
     lits.insert(lits.end(), src + cursor, src + be);
+    costs.from_stats(seqs, lits);
+    {   // every parse competes, scored by its EXACT encoded body size
+        // (a self-consistent entropy estimate systematically undervalues
+        // skewed parses — the coverage parse on structured data encodes
+        // several percent smaller than its estimate — so encode for real;
+        // both section encoders are pure functions of the parse)
+        static thread_local std::vector<uint8_t> scratch;
+        scratch.clear();
+        encode_literals(lits.data(), lits.size(), scratch);
+        encode_sequences(seqs, scratch);
+        int64_t bytes = int64_t(scratch.size());
+        int64_t mb = 0;
+        for (const Seq& q : seqs) mb += q.ml;
+        if (bytes < best_bits) {
+            best_bits = bytes;
+            best_seqs = seqs;
+            best_lits = lits;
+            best_rep = rcur;
+            best_matched = mb;
+        }
+    }
+    // plan exhausted but the block barely matched: the prices never let a
+    // match-rich parse form — probe for one with a coverage+refine round
+    if (pass + 1 == np && !coverage_tried && np + 2 <= 6 &&
+        best_matched * 2 < int64_t(blen)) {
+        coverage_tried = true;
+        plan[np++] = kCoverage;
+        plan[np++] = kRefineLast;
+    }
+    }  // pass loop (each pass re-parses with re-priced statistics)
+    seqs = best_seqs;
+    lits = best_lits;
+    rep = best_rep;  // rep MUST track the emitted stream (ofv_of mapping)
+    costs.from_stats(seqs, lits);
     // index whatever the scan did not reach (tail guard)
     for (size_t p = next_ins; p < std::min(be, ins_max); p++) M.insert(p);
     next_ins = std::max(next_ins, be);
-    costs.from_stats(seqs, lits);
 }
 
 }  // namespace
+
+// Choose the end of the next block: scan up to 128K ahead in 16K chunks
+// and cut at the strongest byte-distribution changepoint, so entropy
+// tables never straddle a content transition (role of the reference's
+// block splitter, C/zstd/zstd_preSplit.c, heuristic re-derived: coarse
+// 64-bin histograms + normalized L1 distance between adjacent chunks).
+static size_t choose_block_end(const uint8_t* src, size_t bs, size_t n,
+                               size_t max_block, bool* cut) {
+    if (cut) *cut = false;
+    size_t lim = std::min(n, bs + max_block);
+    if (lim - bs <= (32u << 10)) return lim;
+    constexpr size_t kChunk = 16u << 10;
+    size_t nch = (lim - bs) / kChunk;
+    if (nch < 2) return lim;
+    uint16_t prev_h[64], cur_h[64];
+    for (size_t c = 0; c + 1 < nch; c++) {
+        uint16_t* h = c == 0 ? prev_h : cur_h;
+        std::memset(h, 0, sizeof(prev_h));
+        const uint8_t* p = src + bs + c * kChunk;
+        for (size_t i = 0; i < kChunk; i += 4) h[p[i] >> 2]++;
+        if (c == 0) continue;
+        uint32_t l1 = 0;
+        for (int b = 0; b < 64; b++)
+            l1 += uint32_t(std::abs(int(prev_h[b]) - int(cur_h[b])));
+        // samples per chunk = kChunk/4; full divergence = 2*samples
+        if (l1 * 2 > (kChunk / 4)) {  // > 25% mass moved
+            if (cut) *cut = true;
+            return bs + c * kChunk;   // cut before the divergent chunk
+        }
+        std::memcpy(prev_h, cur_h, sizeof(prev_h));
+    }
+    return lim;
+}
 
 // ------------------------------------------------------------- driver ---
 
@@ -1134,12 +1506,14 @@ static void parse_block_optimal(const uint8_t* src, size_t n,
 // (C/zstd/zstdmt_compress.c:693-760: overlap prefix as rawContent dict,
 // repcodes reset per job). The final block's `last` flag is set only
 // when `final_last` (intermediate jobs of a sharded frame pass false).
-static void encode_blocks_region(const uint8_t* src, size_t n,
-                                 size_t start, int level, bool final_last,
-                                 std::vector<uint8_t>& out) {
+template <class MF>
+static void encode_blocks_region_impl(const uint8_t* src, size_t n,
+                                      size_t start, int level,
+                                      bool final_last,
+                                      std::vector<uint8_t>& out) {
     {
         Params P = level_params(level, n);
-        Matcher M;
+        MF M;
         M.init(src, n, P.hash_log);
         Rep rep;
         if (start > 0) {
@@ -1150,8 +1524,6 @@ static void encode_blocks_region(const uint8_t* src, size_t n,
             // identically on both sides.
             rep.r0 = rep.r1 = rep.r2 = 0;
         }
-        size_t first_block = start / kBlockSize;
-        size_t nblocks = (n + kBlockSize - 1) / kBlockSize;
         std::vector<Seq> seqs;
         std::vector<uint8_t> lits, body;
         size_t next_ins = 0;  // chain-insertion cursor (each pos once)
@@ -1163,11 +1535,17 @@ static void encode_blocks_region(const uint8_t* src, size_t n,
             for (size_t j = next_ins; j < lim; j += step) M.insert(j);
             next_ins = std::max(next_ins, k);
         };
-        for (size_t b = first_block; b < nblocks; b++) {
-            size_t bs = b * kBlockSize;
-            size_t be = std::min(bs + kBlockSize, n);
+        size_t bs = start;
+        bool at_cut = false;  // previous block ended on a content change
+        while (bs < n) {
+            bool cut = false;
+            size_t be = level >= 13
+                            ? choose_block_end(src, bs, n, kBlockSize, &cut)
+                            : std::min(bs + kBlockSize, n);
             size_t blen = be - bs;
-            int lastf = (b == nblocks - 1 && final_last) ? 1 : 0;
+            bool reset_costs = at_cut;
+            at_cut = cut;
+            int lastf = (be == n && final_last) ? 1 : 0;
             // RLE block?
             bool uni = blen >= 8;
             for (size_t i = bs + 1; uni && i < be; i++)
@@ -1182,6 +1560,7 @@ static void encode_blocks_region(const uint8_t* src, size_t n,
                 out.push_back(bh & 0xFF); out.push_back((bh >> 8) & 0xFF);
                 out.push_back((bh >> 16) & 0xFF);
                 out.push_back(src[bs]);
+                bs = be;
                 continue;
             }
             seqs.clear(); lits.clear(); body.clear();
@@ -1191,8 +1570,10 @@ static void encode_blocks_region(const uint8_t* src, size_t n,
                     costs.defaults(src + bs, blen);
                     costs_ready = true;
                 }
+                // after a splitter cut, also try a defaults-seeded parse
+                // (see parse_block_optimal pass plan)
                 parse_block_optimal(src, n, bs, be, M, next_ins, ins_max,
-                                    P, rep, costs, seqs, lits);
+                                    P, rep, costs, seqs, lits, reset_costs);
                 goto assemble;
             }
             {
@@ -1283,8 +1664,21 @@ static void encode_blocks_region(const uint8_t* src, size_t n,
                 out.push_back((bh >> 16) & 0xFF);
                 out.insert(out.end(), body.begin(), body.end());
             }
+            bs = be;
         }
     }
+}
+
+// matcher dispatch: optimal-parse levels use the binary-tree finder
+static void encode_blocks_region(const uint8_t* src, size_t n,
+                                 size_t start, int level, bool final_last,
+                                 std::vector<uint8_t>& out) {
+    if (level >= 13)
+        encode_blocks_region_impl<BTMatcher>(src, n, start, level,
+                                             final_last, out);
+    else
+        encode_blocks_region_impl<Matcher>(src, n, start, level,
+                                           final_last, out);
 }
 
 static void write_frame_header(std::vector<uint8_t>& out, uint64_t n,
