@@ -827,9 +827,11 @@ static Params level_params(int level, size_t n) {
                             p.accel_shift = 10; p.ins_step = 256; }
     else if (level <= 11) { p.hash_log = 19; p.depth = 64;  p.lazy = 1;
                             p.accel_shift = 12; p.ins_step = 1024; }
-    else if (level <= 16) { p.hash_log = 20; p.depth = 128; p.lazy = 2;
+    else if (level <= 16) { p.hash_log = 20; p.depth = 64;  p.lazy = 2;
                             p.accel_shift = 14; p.ins_step = 4096; }
-    else                  { p.hash_log = 21; p.depth = 512; p.lazy = 2;
+    else if (level <= 19) { p.hash_log = 21; p.depth = 128; p.lazy = 2;
+                            p.accel_shift = 30; p.ins_step = 4096; }
+    else                  { p.hash_log = 22; p.depth = 512; p.lazy = 2;
                             p.accel_shift = 30; p.ins_step = 4096; }
     uint64_t w = 1ULL << (level <= 1 ? 19 : level <= 3 ? 21 :
                           level <= 11 ? 23 : 27);
@@ -1007,10 +1009,17 @@ struct BTMatcher {
         int32_t* pl = &lr[2 * i];      // subtree of suffixes < suffix(i)
         size_t len_l = 0, len_r = 0;   // proven common prefixes at bounds
         size_t min_pos = i > window ? i - window : 0;
-        // tree ordering must compare true suffixes (to input end) or later
-        // inserts see a mis-ordered tree; recorded candidate lengths are
-        // capped at the parse limit end_pos instead.
-        const uint8_t* lim = base + n;
+        // Comparison horizon: no recordable match exceeds the 128K block,
+        // so compares past i+128K only serve tree ordering — and letting
+        // them run to the input end is quadratic on data with multi-MB
+        // exact repeats (measured 273K compare-bytes/position on such a
+        // corpus).  Cap the compare and treat a tie at the cap as a full
+        // extension, dropping the walked node like the reference's BT
+        // does at its block horizon (zstd_compress.c ZSTD_insertBt1
+        // breaks at iend); the mild mis-ordering beyond the cap only
+        // weakens far matches that could not be emitted anyway.
+        const size_t cmp_cap = std::min(n, i + (128u << 10) + 64);
+        const uint8_t* lim = base + cmp_cap;
         size_t max_rec = end_pos - i;
         uint32_t best = min_len;
         for (;;) {
@@ -1027,9 +1036,9 @@ struct BTMatcher {
                                            uint32_t(i - size_t(cur)), 0};
                 best = uint32_t(rec);
             }
-            if (i + len >= n) {
-                // full extension: cur's suffix prefixes i's — replace cur
-                // with its children and stop (no byte left to compare)
+            if (i + len >= cmp_cap) {
+                // full extension to the horizon: replace cur with its
+                // children and stop (no byte left to distinguish on)
                 *pl = lr[2 * cur];
                 *pr = lr[2 * cur + 1];
                 break;
@@ -1057,7 +1066,8 @@ struct BTMatcher {
         int32_t cur = head[hash_at(i)];
         size_t len_l = 0, len_r = 0;
         size_t min_pos = i > window ? i - window : 0;
-        const uint8_t* lim = base + n;
+        const size_t cmp_cap = std::min(n, i + (128u << 10) + 64);
+        const uint8_t* lim = base + cmp_cap;
         size_t max_rec = end_pos - i;
         uint32_t best_len = min_len;
         while (depth-- > 0 && cur >= 0 && size_t(cur) >= min_pos) {
@@ -1072,7 +1082,7 @@ struct BTMatcher {
                                            uint32_t(i - size_t(cur)), 0};
                 best_len = uint32_t(rec);
             }
-            if (i + len >= n) break;
+            if (i + len >= cmp_cap) break;
             if (base[cur + len] < base[i + len]) {
                 cur = lr[2 * cur + 1];
                 len_l = len;
@@ -1207,7 +1217,7 @@ static void parse_block_optimal(const uint8_t* src, size_t n,
     for (size_t p = next_ins; p < std::min(bs, ins_max); p++) M.insert(p);
     next_ins = std::max(next_ins, bs);
     static thread_local std::vector<Cell> cells;
-    constexpr int kRelaxBudget = 192;
+    constexpr int kRelaxBudget = 24;
     // Two passes per block: the first parses with carried-over (or
     // default) prices and refreshes the statistics from its own result;
     // the second re-parses with prices that match THIS block's data —
@@ -1302,6 +1312,14 @@ static void parse_block_optimal(const uint8_t* src, size_t n,
     }
     cells.assign(blen + 1, Cell{INT64_MAX, 0, 0, 0, 0, Rep{}});
     cells[0] = Cell{0, 0, 0, 0, 0, rep_in};
+    // Long-match fast path: inside a found match of >= kLongImmediate
+    // bytes, neither searching nor indexing the interior is useful (any
+    // future position can match the earlier copy instead), and on
+    // dup-heavy data per-position searches there are quadratic — the
+    // role of the reference's sufficient_len immediate-encode + skip
+    // (zstd_opt.c) and ZSTD_insertBt1's forward skip return.
+    constexpr uint32_t kLongImmediate = 512;
+    size_t gather_skip = 0;  // absolute pos: skip gathering below this
     for (size_t j = 0; j < blen; j++) {
         const Cell& cur = cells[j];
         size_t pos = bs + j;
@@ -1313,6 +1331,10 @@ static void parse_block_optimal(const uint8_t* src, size_t n,
                 nx.price = cand; nx.mlen = 0; nx.off = 0; nx.seq_ll = 0;
                 nx.litrun = cur.litrun + 1; nx.rep = cur.rep;
             }
+        }
+        if (pos < gather_skip) {  // every pass: probes there are quadratic
+            if (pass == 0) cand_at[j + 1] = uint32_t(cand_pool.size());
+            continue;
         }
         // gather candidates (ascending length)
         MCand cands[32];
@@ -1395,6 +1417,18 @@ static void parse_block_optimal(const uint8_t* src, size_t n,
                 }
             }
             lo = std::max(lo, cd.len + 1);
+        }
+        if (nc) {
+            uint32_t maxlen = 0;
+            for (int k = 0; k < nc; k++)
+                maxlen = std::max(maxlen, cands[k].len);
+            if (maxlen >= kLongImmediate) {
+                gather_skip = pos + maxlen;
+                // leave a re-indexed tail so the next region still links
+                // (8 positions, the reference's ZSTD_insertBt1 margin)
+                size_t ins_to = gather_skip > 8 ? gather_skip - 8 : pos;
+                next_ins = std::max(next_ins, std::min(ins_to, ins_max));
+            }
         }
     }
     // backtrack
