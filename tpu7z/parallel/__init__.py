@@ -10,7 +10,8 @@ reference's MT layer (SURVEY.md section 2.2):
 """
 
 from .mesh import make_mesh, data_axis
-from .sharded import shard_compress_lz4, sharded_find_matches
+from .sharded import (shard_compress_lz4, shard_compress_lz4_device,
+                      sharded_find_matches)
 
 __all__ = ["make_mesh", "data_axis", "shard_compress_lz4",
-           "sharded_find_matches"]
+           "shard_compress_lz4_device", "sharded_find_matches"]
