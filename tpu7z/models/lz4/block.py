@@ -397,6 +397,20 @@ def compress_block_continuation(chunk, window, hashlog: int = 16) -> bytes:
     linked-blocks mode of the frame format (C/lz4/lz4frame.c blockMode
     LZ4F_blockLinked). Matches may reach back into the window; output
     encodes only `chunk`."""
+    if hashlog == 16 and len(chunk) > 0:
+        try:
+            from ... import native as _native_mod
+            import ctypes as _ct
+            lib = _native_mod._load()
+        except Exception:
+            lib = None
+        if lib is not None:
+            s = bytes(window) + bytes(chunk)
+            cap = len(chunk) + len(chunk) // 128 + 64
+            dst = _ct.create_string_buffer(cap)
+            r = lib.tz_lz4_encode_region(s, len(s), len(window), dst, cap)
+            if r > 0:
+                return dst.raw[:r]
     w = np.frombuffer(bytes(window), dtype=np.uint8)
     c = np.frombuffer(bytes(chunk), dtype=np.uint8)
     if c.size == 0:

@@ -48,6 +48,10 @@ def _load():
     lib.tz_lz4_encode.restype = ctypes.c_longlong
     lib.tz_lz4_encode.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                   ctypes.c_void_p, ctypes.c_size_t]
+    lib.tz_lz4_encode_region.restype = ctypes.c_longlong
+    lib.tz_lz4_encode_region.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.c_void_p, ctypes.c_size_t]
     lib.tz_lz4_decode.restype = ctypes.c_longlong
     lib.tz_lz4_decode.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                   ctypes.c_void_p, ctypes.c_size_t]

@@ -427,20 +427,43 @@ long long tz_lzma_decode_chunk(void* h, const uint8_t* src, size_t srcn,
 // the public block format)
 // ---------------------------------------------------------------------------
 
-extern "C" long long tz_lz4_encode(const uint8_t* src, size_t n,
-                                   uint8_t* dst, size_t cap) {
-    if (n == 0) { if (cap < 1) return -1; dst[0] = 0; return 1; }
+// Encode src[start, n) as an LZ4 block; matches may reach back into
+// src[0, start) (the linked-blocks window, lz4frame.c LZ4F_blockLinked
+// semantics). start=0 gives the plain independent-block encoder.
+extern "C" long long tz_lz4_encode_region(const uint8_t* src, size_t n,
+                                          size_t start,
+                                          uint8_t* dst, size_t cap) {
+    if (n <= start) { if (cap < 1) return -1; dst[0] = 0; return 1; }
     const size_t HASH_LOG = 16, HSIZE = 1u << HASH_LOG;
     static thread_local uint32_t* table = nullptr;
     if (!table) table = (uint32_t*)malloc(HSIZE * sizeof(uint32_t));
     for (size_t i = 0; i < HSIZE; i++) table[i] = 0xFFFFFFFFu;
 
-    size_t ip = 0, op = 0, anchor = 0;
+    size_t ip = start, op = 0, anchor = start;
     const size_t mflimit = n >= 12 ? n - 12 : 0;
+    const size_t matchlimit = n >= 5 ? n - 5 : 0;
 
+    // 5-byte multiplicative hash (64-bit loads): fewer collisions than a
+    // 4-byte hash at the same table size, which is where most of the
+    // greedy tier's ratio comes from
     auto hash4 = [&](size_t p) {
-        uint32_t v; memcpy(&v, src + p, 4);
-        return (v * 2654435761u) >> (32 - HASH_LOG);
+        uint64_t v; memcpy(&v, src + p, 8);
+        return (uint32_t)(((v & 0xFFFFFFFFFFull) * 0x9E3779B185EBCA87ull)
+                          >> (64 - HASH_LOG));
+    };
+    // 8-bytes-at-a-time forward match length
+    auto fwd_count = [&](size_t a, size_t b) {
+        size_t len = 0;
+        while (a + len + 8 <= matchlimit) {
+            uint64_t x, y;
+            memcpy(&x, src + a + len, 8);
+            memcpy(&y, src + b + len, 8);
+            uint64_t d = x ^ y;
+            if (d) return len + (__builtin_ctzll(d) >> 3);
+            len += 8;
+        }
+        while (a + len < matchlimit && src[a + len] == src[b + len]) len++;
+        return len;
     };
     auto emit = [&](size_t lit_start, size_t lit_len, size_t offset,
                     size_t mlen) -> bool {
@@ -460,6 +483,20 @@ extern "C" long long tz_lz4_encode(const uint8_t* src, size_t n,
         return true;
     };
 
+    // seed the table with the linked-mode window (nearest occurrence
+    // wins, so scan forward)
+    if (start) {
+        size_t wfrom = start > 0xFFFF ? start - 0xFFFF : 0;
+        size_t wlim = start < mflimit ? start : mflimit;
+        for (size_t p = wfrom; p < wlim; p++)
+            table[hash4(p)] = (uint32_t)p;
+    }
+    // miss-streak acceleration: each run of misses widens the scan step,
+    // so incompressible stretches cost ~1 probe per 64 bytes instead of
+    // one per byte (the reference's skipStrength idea, C/lz4/lz4.c
+    // LZ4_compress_generic, re-derived)
+    const unsigned kSkipStrength = 6;
+    unsigned miss_nb = 1u << kSkipStrength;
     while (ip < mflimit) {
         uint32_t h = hash4(ip);
         uint32_t cand = table[h];
@@ -469,19 +506,25 @@ extern "C" long long tz_lz4_encode(const uint8_t* src, size_t n,
             memcpy(&v0, src + cand, 4);
             memcpy(&v1, src + ip, 4);
             if (v0 == v1) {
-                size_t mlen = 4;
-                size_t lim = n - 5 - ip;
-                while (mlen < lim && src[cand + mlen] == src[ip + mlen]) mlen++;
-                if (!emit(anchor, ip - anchor, ip - cand, mlen)) return -1;
-                // seed table inside the match sparsely
+                miss_nb = 1u << kSkipStrength;
+                // extend the match backward over pending literals
+                size_t mp = cand;
+                while (ip > anchor && mp > 0 &&
+                       src[ip - 1] == src[mp - 1]) { ip--; mp--; }
+                size_t mlen = 4 + fwd_count(ip + 4, mp + 4);
+                if (!emit(anchor, ip - anchor, ip - mp, mlen)) return -1;
                 size_t e = ip + mlen;
-                for (size_t p = ip + 1; p + 4 <= e && p < mflimit; p += 3)
-                    table[hash4(p)] = (uint32_t)p;
+                // index two interior positions (reference re-indexes
+                // end-2; a mid point helps long matches link forward)
+                if (e >= 3 && e - 2 < mflimit)
+                    table[hash4(e - 2)] = (uint32_t)(e - 2);
+                size_t mid = ip + mlen / 2;
+                if (mid < mflimit) table[hash4(mid)] = (uint32_t)mid;
                 ip = e; anchor = e;
                 continue;
             }
         }
-        ip++;
+        ip += miss_nb++ >> kSkipStrength;
     }
     // trailing literals
     {
@@ -495,4 +538,9 @@ extern "C" long long tz_lz4_encode(const uint8_t* src, size_t n,
         memcpy(dst + op, src + anchor, lit); op += lit;
     }
     return (long long)op;
+}
+
+extern "C" long long tz_lz4_encode(const uint8_t* src, size_t n,
+                                   uint8_t* dst, size_t cap) {
+    return tz_lz4_encode_region(src, n, 0, dst, cap);
 }
