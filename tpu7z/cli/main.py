@@ -283,6 +283,13 @@ def _open_archive(opts, path):
     for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz", ".Z", ".lz", ".br"):
         if name.endswith(ext):
             name = name[: -len(ext)]
+    # block-parallel decode driver (MtDec analog) when spans exist and
+    # multithreading is not disabled (-mmt1 forces the serial path)
+    if atype in ("zstd", "lz4") and opts.threads != 1:
+        from ..parallel import decode as pdec
+        fn = pdec.decompress_zstd if atype == "zstd" \
+            else pdec.decompress_lz4
+        return atype, {name: fn(data, threads=opts.threads)}, None
     return atype, {name: codec.decompress(data)}, None
 
 

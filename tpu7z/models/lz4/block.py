@@ -42,14 +42,20 @@ def max_compressed_size(n: int) -> int:
 # Decompression
 # ---------------------------------------------------------------------------
 
-def decompress_block(src, dst_size: int | None = None) -> bytes:
+def decompress_block(src, dst_size: int | None = None,
+                     cap_hint: int | None = None) -> bytes:
     """Decode one raw LZ4 block. Sequence-serial host loop with vectorized
     literal/match copies (match copy uses the period trick for overlaps).
+
+    dst_size: exact decoded size when known (native fast path, size
+    enforced).  cap_hint: upper bound only (e.g. the frame's block size);
+    the native tier decodes into that capacity and returns the actual
+    length.
     """
     s = np.frombuffer(bytes(src), dtype=np.uint8)
     n = s.size
     cap = dst_size if dst_size is not None else _decoded_bound(n)
-    if dst_size is not None:
+    if dst_size is not None or cap_hint is not None:
         try:
             from ... import native as _native_mod
             lib = _native_mod._load()
@@ -57,11 +63,12 @@ def decompress_block(src, dst_size: int | None = None) -> bytes:
             lib = None
         if lib is not None:
             import ctypes
-            buf = ctypes.create_string_buffer(dst_size)
-            r = lib.tz_lz4_decode(bytes(src), n, buf, dst_size)
-            if r < 0 or r != dst_size:
-                raise CorruptError(f"lz4: decoded {r}, expected {dst_size}")
-            return buf.raw
+            want = dst_size if dst_size is not None else cap_hint
+            buf = ctypes.create_string_buffer(want)
+            r = lib.tz_lz4_decode(bytes(src), n, buf, want)
+            if r < 0 or (dst_size is not None and r != dst_size):
+                raise CorruptError(f"lz4: decoded {r}, expected {want}")
+            return buf.raw[:r]
     out = np.empty(cap, dtype=np.uint8)
     ip = 0
     op = 0

@@ -169,8 +169,8 @@ def decompress_frame(src: bytes, verify_checksums: bool = True):
             decoded = bytes(payload)
         else:
             if b_indep:
-                decoded = lz4block.decompress_block(payload, dst_size=None) \
-                    if blen else b""
+                decoded = lz4block.decompress_block(
+                    payload, dst_size=None, cap_hint=bsize) if blen else b""
                 if len(decoded) > bsize:
                     raise CorruptError("lz4 frame: block exceeds max size")
             else:

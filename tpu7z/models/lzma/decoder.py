@@ -77,6 +77,7 @@ class LzmaDecoder:
         self.reps = [0, 0, 0, 0]
         self.out = np.zeros(out_capacity, dtype=np.uint8)
         self.pos = 0  # global window position
+        self.origin = 0  # dictionary origin (LZMA2 dict reset)
 
     def __del__(self):
         if getattr(self, "_native", None) is not None:
@@ -92,6 +93,13 @@ class LzmaDecoder:
         self.probs = _Probs(self.lc, self.lp)
         self.state = 0
         self.reps = [0, 0, 0, 0]
+
+    def dict_reset(self):
+        """LZMA2 dictionary reset: position context and distance bounds
+        restart at the current output position (C/Lzma2Dec.c dicPos)."""
+        self.origin = self.pos
+        if self._native is not None:
+            self._native_lib.tz_lzma_set_origin(self._native, self.pos)
 
     def reset_props(self, lc: int, lp: int, pb: int):
         self.lc, self.lp, self.pb = lc, lp, pb
@@ -144,6 +152,7 @@ class LzmaDecoder:
         state = self.state
         rep0, rep1, rep2, rep3 = self.reps
         pos = self.pos
+        origin = self.origin
         if limit is None:
             end = 1 << 62
         else:
@@ -156,10 +165,11 @@ class LzmaDecoder:
                 self.pos = pos
                 self._grow(pos + (1 << 20))
                 out = self.out
-            pos_state = pos & pb_mask
+            pos_state = (pos - origin) & pb_mask
             if rc.decode_bit(probs.is_match, (state << 4) + pos_state) == 0:
-                prev = int(out[pos - 1]) if pos > 0 else 0
-                lit_state = (((pos & lp_mask) << lc) + (prev >> (8 - lc)))
+                prev = int(out[pos - 1]) if pos > origin else 0
+                lit_state = ((((pos - origin) & lp_mask) << lc)
+                             + (prev >> (8 - lc)))
                 base = 0x300 * lit_state
                 lit = probs.literal
                 if state < 7:
@@ -217,7 +227,7 @@ class LzmaDecoder:
                                      (state << 4) + pos_state) == 0:
                         # short rep
                         state = 9 if state < 7 else 11
-                        if rep0 + 1 > pos:
+                        if rep0 + 1 > pos - origin:
                             raise CorruptError("lzma: shortrep before start")
                         out[pos] = out[pos - rep0 - 1]
                         pos += 1
@@ -237,7 +247,7 @@ class LzmaDecoder:
                 length = _decode_len(rc, probs.rep_len_coder, pos_state)
                 state = 8 if state < 7 else 11
             # copy match
-            if rep0 + 1 > pos:
+            if rep0 + 1 > pos - origin:
                 raise CorruptError("lzma: match distance before start")
             if pos + length > end:
                 raise CorruptError("lzma: match overruns chunk limit")

@@ -48,6 +48,8 @@ def decompress(src: bytes, out_size: int | None = None) -> bytes:
                 raise CorruptError("lzma2: truncated uncompressed chunk")
             if dec is None:
                 dec = LzmaDecoder(0, 0, 0, max(cap, usize))
+            if ctrl == 1:  # uncompressed chunk WITH dictionary reset
+                dec.dict_reset()
             dec._grow(dec.pos + usize)
             dec.out[dec.pos:dec.pos + usize] = np.frombuffer(
                 src[pos:pos + usize], dtype=np.uint8)
@@ -74,6 +76,8 @@ def decompress(src: bytes, out_size: int | None = None) -> bytes:
                 dec = LzmaDecoder(lc, lp, pb, max(cap, usize))
             else:
                 dec.reset_props(lc, lp, pb)
+            if reset == 3:
+                dec.dict_reset()
         else:
             if dec is None:
                 raise CorruptError("lzma2: first chunk must set props")

@@ -61,6 +61,7 @@ def _load():
     lib.tz_lzma_reset_state.argtypes = [ctypes.c_void_p]
     lib.tz_lzma_reset_props.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                         ctypes.c_int, ctypes.c_int]
+    lib.tz_lzma_set_origin.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.tz_lzma_decode_chunk.restype = ctypes.c_longlong
     lib.tz_lzma_decode_chunk.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,

@@ -188,6 +188,8 @@ struct TzLzma {
     int lc, lp, pb;
     unsigned state;
     uint32_t reps[4];
+    uint64_t origin;  // dictionary origin (LZMA2 dict reset): position
+                      // context and distance bounds restart here
 };
 
 enum {  // probability layout offsets (computed at init)
@@ -223,7 +225,14 @@ void* tz_lzma_new(int lc, int lp, int pb) {
     z->probs = (uint16_t*)malloc(z->nprobs * sizeof(uint16_t));
     for (size_t i = 0; i < z->nprobs; i++) z->probs[i] = 1024;
     z->state = 0; z->reps[0] = z->reps[1] = z->reps[2] = z->reps[3] = 0;
+    z->origin = 0;
     return z;
+}
+
+// LZMA2 dictionary reset: subsequent chunks behave as if output started
+// at `origin` (C/Lzma2Dec.c dicPos handling)
+void tz_lzma_set_origin(void* h, uint64_t origin) {
+    ((TzLzma*)h)->origin = origin;
 }
 
 void tz_lzma_reset_state(void* h) {
@@ -337,13 +346,14 @@ long long tz_lzma_decode_chunk(void* h, const uint8_t* src, size_t srcn,
     unsigned lp_mask = (1u << z->lp) - 1;
     int lc = z->lc;
     uint64_t end = pos + limit;
+    const uint64_t origin = z->origin;
 
     while (pos < end) {
         if (r.overread > 20) return -1;
-        unsigned pos_state = (unsigned)pos & pb_mask;
+        unsigned pos_state = (unsigned)(pos - origin) & pb_mask;
         if (!rd_bit(&r, P + OFF_IS_MATCH + (state << 4) + pos_state)) {
-            unsigned prev = pos ? window[pos - 1] : 0;
-            unsigned lit_state = (((unsigned)pos & lp_mask) << lc) + (prev >> (8 - lc));
+            unsigned prev = pos > origin ? window[pos - 1] : 0;
+            unsigned lit_state = (((unsigned)(pos - origin) & lp_mask) << lc) + (prev >> (8 - lc));
             uint16_t* lit = P + OFF_LITERAL + 0x300 * (size_t)lit_state;
             unsigned sym = 1;
             if (state < 7) {
@@ -391,7 +401,7 @@ long long tz_lzma_decode_chunk(void* h, const uint8_t* src, size_t srcn,
             if (!rd_bit(&r, P + OFF_G0 + state)) {
                 if (!rd_bit(&r, P + OFF_REP0LONG + (state << 4) + pos_state)) {
                     state = state < 7 ? 9 : 11;
-                    if (rep0 + 1 > pos) return -1;
+                    if (rep0 + 1 > pos - origin) return -1;
                     window[pos] = window[pos - rep0 - 1];
                     pos++;
                     continue;
@@ -409,7 +419,7 @@ long long tz_lzma_decode_chunk(void* h, const uint8_t* src, size_t srcn,
             length = rd_len(&r, P + OFF_REPLEN, pos_state);
             state = state < 7 ? 8 : 11;
         }
-        if (rep0 + 1 > pos || pos + length > end) return -1;
+        if (rep0 + 1 > pos - origin || pos + length > end) return -1;
         const uint8_t* m = window + pos - rep0 - 1;
         uint8_t* d = window + pos;
         for (unsigned k = 0; k < length; k++) d[k] = m[k];
