@@ -819,7 +819,7 @@ struct Params {
 
 static Params level_params(int level, size_t n) {
     Params p;
-    if (level <= 1)       { p.hash_log = 16; p.depth = 4;   p.lazy = 0;
+    if (level <= 1)       { p.hash_log = 17; p.depth = 4;   p.lazy = 0;
                             p.accel_shift = 7;  p.ins_step = 32; }
     else if (level <= 3)  { p.hash_log = 17; p.depth = 8;   p.lazy = 0;
                             p.accel_shift = 8;  p.ins_step = 64; }
@@ -833,8 +833,7 @@ static Params level_params(int level, size_t n) {
                             p.accel_shift = 30; p.ins_step = 4096; }
     else                  { p.hash_log = 22; p.depth = 512; p.lazy = 2;
                             p.accel_shift = 30; p.ins_step = 4096; }
-    uint64_t w = 1ULL << (level <= 1 ? 19 : level <= 3 ? 21 :
-                          level <= 11 ? 23 : 27);
+    uint64_t w = 1ULL << (level <= 1 ? 21 : level <= 11 ? 23 : 27);
     p.window = uint32_t(std::min<uint64_t>(w, n ? n : 1));
     return p;
 }
@@ -1497,6 +1496,128 @@ static void parse_block_optimal(const uint8_t* src, size_t n,
     next_ins = std::max(next_ins, be);
 }
 
+// Fast tier (levels <= 4): single-table most-recent-candidate greedy
+// with rep-first probing, miss-streak acceleration and backward match
+// extension — the role of the reference's fast/dfast strategies
+// (C/zstd/zstd_fast.c, zstd_double_fast.c), re-derived.  `table` holds
+// absolute positions and persists across blocks of a region.
+static void parse_block_fast(const uint8_t* src, size_t n, size_t bs,
+                             size_t be, std::vector<uint32_t>& table,
+                             std::vector<uint32_t>& ltable,
+                             uint32_t hl, uint32_t window, Rep& rep,
+                             std::vector<Seq>& seqs,
+                             std::vector<uint8_t>& lits) {
+    (void)n;
+    auto hash5 = [&](size_t p) {
+        uint64_t v = load64(src + p);
+        return (uint32_t)(((v & 0xFFFFFFFFFFull) * 0x9E3779B185EBCA87ull)
+                          >> (64 - hl));
+    };
+    const uint32_t hl8 = hl + 1;  // long table gets double the slots
+    auto hash8 = [&](size_t p) {
+        return (uint32_t)((load64(src + p) * 0xCF1BBCDCB7A56463ull)
+                          >> (64 - hl8));
+    };
+    const bool dfast = !ltable.empty();
+    const size_t mflimit = be >= 12 ? be - 12 : bs;
+    const uint8_t* lim = src + be;
+    constexpr unsigned kSkip = 6;
+    unsigned miss = 1u << kSkip;
+    size_t i = bs, anchor = bs;
+    while (i < mflimit) {
+        size_t mstart = i, mpos = 0;
+        bool have = false;
+        uint32_t r0 = rep.r0;
+        if (r0 && i >= r0 && load32(src + i) == load32(src + i - r0)) {
+            mpos = i - r0;
+            have = true;
+        } else if (r0 && i + 1 < mflimit && i + 1 >= r0 &&
+                   load32(src + i + 1) == load32(src + i + 1 - r0)) {
+            // rep one byte later (the reference's ip+1 rep probe)
+            mstart = i + 1;
+            mpos = i + 1 - r0;
+            have = true;
+        }
+        if (!have && dfast) {
+            // long-match table first (8-byte prefix): longer matches and
+            // fewer false probes — the double-fast strategy's core idea
+            uint32_t h8 = hash8(i);
+            uint32_t cand = ltable[h8];
+            ltable[h8] = (uint32_t)i;
+            if (cand != 0xFFFFFFFFu && i - cand <= window &&
+                load64(src + cand) == load64(src + i)) {
+                mpos = cand;
+                have = true;
+            }
+        }
+        if (!have) {
+            uint32_t h = hash5(i);
+            uint32_t cand = table[2 * h];
+            uint32_t cand2 = table[2 * h + 1];
+            table[2 * h + 1] = cand;
+            table[2 * h] = (uint32_t)i;
+            if (cand != 0xFFFFFFFFu && i - cand <= window &&
+                load32(src + cand) == load32(src + i)) {
+                mpos = cand;
+                have = true;
+                if (dfast && i + 1 < mflimit) {
+                    // a long match starting one later usually beats a
+                    // short one here (dfast's ip+1 long probe)
+                    uint32_t h8 = hash8(i + 1);
+                    uint32_t lc = ltable[h8];
+                    ltable[h8] = (uint32_t)(i + 1);
+                    if (lc != 0xFFFFFFFFu && i + 1 - lc <= window &&
+                        load64(src + lc) == load64(src + i + 1)) {
+                        size_t l_long = 8 + match_len(src + i + 9,
+                                                      src + lc + 8, lim);
+                        size_t l_short = 4 + match_len(
+                            src + i + 4, src + mpos + 4, lim);
+                        if (l_long > l_short + 1) {
+                            mstart = i + 1;
+                            mpos = lc;
+                        }
+                    }
+                }
+            } else if (cand2 != 0xFFFFFFFFu && i - cand2 <= window &&
+                       load32(src + cand2) == load32(src + i)) {
+                mpos = cand2;  // 2-way bucket: previous occupant
+                have = true;
+            }
+        }
+        if (!have) {
+            i += miss++ >> kSkip;
+            continue;
+        }
+        while (mstart > anchor && mpos > 0 &&
+               src[mstart - 1] == src[mpos - 1]) { mstart--; mpos--; }
+        miss = 1u << kSkip;
+        size_t mlen = 4 + match_len(src + mstart + 4, src + mpos + 4, lim);
+        uint32_t ll = uint32_t(mstart - anchor);
+        lits.insert(lits.end(), src + anchor, src + mstart);
+        Seq q;
+        q.ll = ll;
+        q.ml = uint32_t(mlen);
+        q.ofv = ofv_of(uint32_t(mstart - mpos), ll, rep);
+        seqs.push_back(q);
+        size_t e = mstart + mlen;
+        if (e >= 2 && e - 2 < mflimit) {
+            uint32_t h = hash5(e - 2);
+            table[2 * h + 1] = table[2 * h];
+            table[2 * h] = uint32_t(e - 2);
+            if (dfast) ltable[hash8(e - 2)] = uint32_t(e - 2);
+        }
+        if (mstart + 1 < mflimit) {
+            uint32_t h = hash5(mstart + 1);
+            table[2 * h + 1] = table[2 * h];
+            table[2 * h] = uint32_t(mstart + 1);
+        }
+        i = e;
+        anchor = e;
+    }
+    if (anchor < be)
+        lits.insert(lits.end(), src + anchor, src + be);
+}
+
 }  // namespace
 
 // Choose the end of the next block: scan up to 128K ahead in 16K chunks
@@ -1547,8 +1668,16 @@ static void encode_blocks_region_impl(const uint8_t* src, size_t n,
                                       std::vector<uint8_t>& out) {
     {
         Params P = level_params(level, n);
+        const bool fast_tier = level <= 4;
         MF M;
-        M.init(src, n, P.hash_log);
+        std::vector<uint32_t> fast_table, fast_ltable;
+        if (fast_tier) {
+            fast_table.assign(size_t(2) << P.hash_log, 0xFFFFFFFFu);
+            if (level >= 3)  // double-fast long table at 3-4
+                fast_ltable.assign(size_t(2) << P.hash_log, 0xFFFFFFFFu);
+        } else {
+            M.init(src, n, P.hash_log);
+        }
         Rep rep;
         if (start > 0) {
             // continuation job: the decoder's repcode history at this
@@ -1565,6 +1694,7 @@ static void encode_blocks_region_impl(const uint8_t* src, size_t n,
         Costs costs;
         bool costs_ready = false;
         auto insert_to = [&](size_t k, size_t step) {
+            if (fast_tier) { next_ins = std::max(next_ins, k); return; }
             size_t lim = std::min(k, ins_max);
             for (size_t j = next_ins; j < lim; j += step) M.insert(j);
             next_ins = std::max(next_ins, k);
@@ -1608,6 +1738,11 @@ static void encode_blocks_region_impl(const uint8_t* src, size_t n,
                 // (see parse_block_optimal pass plan)
                 parse_block_optimal(src, n, bs, be, M, next_ins, ins_max,
                                     P, rep, costs, seqs, lits, reset_costs);
+                goto assemble;
+            }
+            if (fast_tier) {
+                parse_block_fast(src, n, bs, be, fast_table, fast_ltable,
+                                 P.hash_log, P.window, rep, seqs, lits);
                 goto assemble;
             }
             {
