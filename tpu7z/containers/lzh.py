@@ -97,6 +97,10 @@ def read_lzh(raw: bytes) -> dict:
             if len(content) != size:
                 raise CorruptError("lzh: stored size mismatch")
             files[dirname + name] = bytes(content)
+        elif method in (b"-lh4-", b"-lh5-", b"-lh6-", b"-lh7-"):
+            from ..models import lha_huffman
+            files[dirname + name] = lha_huffman.decode(
+                bytes(content), size, method[1:4].decode("ascii"))
         else:
             raise UnsupportedError(
                 f"lzh: method {method.decode('ascii', 'replace')}")
@@ -104,20 +108,30 @@ def read_lzh(raw: bytes) -> dict:
     return files
 
 
-def write_lzh(files: dict) -> bytes:
+def write_lzh(files: dict, method: str = "lh5") -> bytes:
+    """Write a level-0 .lzh; method 'lh0' stores, 'lh5' compresses
+    (falling back to store when compression does not help)."""
     out = bytearray()
     for name in sorted(files):
         content = files[name]
+        use_method = b"-lh0-"
+        payload = content
+        if method != "lh0" and len(content) > 0:
+            from ..models import lha_huffman
+            comp = lha_huffman.encode(content, method)
+            if len(comp) < len(content):
+                use_method = f"-{method}-".encode("ascii")
+                payload = comp
         nb = name.encode("ascii", "replace")
         body = bytearray()
-        body += b"-lh0-"
-        body += struct.pack("<III", len(content), len(content), 0)
+        body += use_method
+        body += struct.pack("<III", len(payload), len(content), 0)
         body += bytes([0x20, 0])           # attr, level 0
         body += bytes([len(nb)]) + nb
         body += struct.pack("<H", _crc16(content))
         out.append(len(body))
         out.append(_sum8(bytes(body)))
         out += body
-        out += content
+        out += payload
     out.append(0)  # terminator
     return bytes(out)
