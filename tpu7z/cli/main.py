@@ -108,6 +108,7 @@ class Options:
         self.include = []   # -i! wildcards
         self.exclude = []   # -x! wildcards
         self.recurse = False
+        self.volume = None  # -v{size}: split output into volumes
 
 
 def _parse_switches(args):
@@ -146,6 +147,9 @@ def _parse_switches(args):
             opts.recurse = True
         elif a == "-slt":
             opts.slt = True
+        elif a.startswith("-v") and len(a) > 2 and a[2].isdigit():
+            from ..utils.methodprops import parse_size
+            opts.volume = parse_size(a[2:])
         elif a.startswith("-scrc"):
             opts.scrc = a[5:].lstrip("=") or "CRC32"
         elif a.startswith("-"):
@@ -228,6 +232,17 @@ def cmd_add(opts: Options, args):
         out = codec.compress(data, level=opts.level or 5, **kw)
     if opts.stdout:
         sys.stdout.buffer.write(out)
+    elif opts.volume:
+        # multi-volume output: archive.001, archive.002, ... (the
+        # reference's -v switch + SplitHandler naming,
+        # UI/Common/ArchiveCommandLine.cpp kVolume)
+        nvol = 0
+        for off in range(0, len(out), opts.volume):
+            nvol += 1
+            with open(f"{archive}.{nvol:03d}", "wb") as f:
+                f.write(out[off:off + opts.volume])
+        print(f"created {archive}.001..{archive}.{nvol:03d} "
+              f"({len(out)} bytes in {nvol} volumes)")
     else:
         with open(archive, "wb") as f:
             f.write(out)
@@ -235,8 +250,29 @@ def cmd_add(opts: Options, args):
     return 0
 
 
+def _read_volumes(path: str) -> bytes:
+    """Concatenate a .001/.002/... volume set (SplitHandler.cpp
+    semantics: sequential numeric suffixes, any gap ends the set)."""
+    import re
+    m = re.match(r"^(.*)\.(\d{3,4})$", path)
+    if not m or int(m.group(2)) != 1:
+        return open(path, "rb").read()
+    base, digits = m.group(1), len(m.group(2))
+    parts = []
+    i = 1
+    while True:
+        p = f"{base}.{i:0{digits}d}"
+        if not os.path.exists(p):
+            break
+        parts.append(open(p, "rb").read())
+        i += 1
+    if not parts:
+        raise TpuzError(f"cannot open {path}")
+    return b"".join(parts)
+
+
 def _open_archive(opts, path):
-    data = sys.stdin.buffer.read() if opts.stdin else open(path, "rb").read()
+    data = sys.stdin.buffer.read() if opts.stdin else _read_volumes(path)
     atype = opts.type or _sniff_type(path or "", data)
     if atype == "7z":
         from ..containers.sevenzip import SevenZipReader
