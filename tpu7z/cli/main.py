@@ -31,6 +31,12 @@ _EXT_TYPES = {
     ".pkg": "xar", ".lzh": "lzh", ".lha": "lzh", ".lz": "lzip",
     ".tlz": "lzip", ".wim": "wim", ".swm": "wim", ".cab": "cab",
     ".ext2": "ext", ".ext3": "ext", ".ext4": "ext",
+    ".vhd": "vhd", ".swf": "swf", ".flv": "flv", ".hex": "ihex",
+    ".ihex": "ihex", ".b64": "base64", ".exe": "pe", ".dll": "pe",
+    ".sys": "pe", ".so": "elf", ".dylib": "macho", ".arj": "arj",
+    ".fat": "fat", ".ntfs": "ntfs", ".udf": "udf", ".chm": "chm",
+    ".qcow2": "qcow", ".qcow": "qcow", ".vdi": "vdi", ".vmdk": "vmdk",
+    ".vhdx": "vhdx", ".rar": "rar",
     # .img is deliberately absent: generic disk images (FAT, raw dd,
     # hybrid ISO) are routed by the 0xEF53-at-1080 content sniff instead
 }
@@ -87,6 +93,49 @@ def _sniff_type(path: str, data: bytes | None = None) -> str:
         if len(data) > 16 * 2048 + 6 and \
                 data[16 * 2048 + 1:16 * 2048 + 6] == b"CD001":
             return "iso"
+        if data[:8] in (b"Rar!\x1a\x07\x00\x00", b"Rar!\x1a\x07\x01\x00") \
+                or data[:7] == b"Rar!\x1a\x07\x00":
+            return "rar"
+        if data[:4] == b"ITSF":
+            return "chm"
+        if data[:3] in (b"FWS", b"CWS", b"ZWS"):
+            return "swf"
+        if data[:3] == b"FLV":
+            return "flv"
+        if data[:2] == b"\x60\xea":
+            return "arj"
+        if data[:3] == b"QFI":
+            return "qcow"
+        if data[:8] == b"vhdxfile":
+            return "vhdx"
+        if data[:4] == b"KDMV":
+            return "vmdk"
+        if data[64:68] == b"\x7f\x10\xda\xbe":
+            return "vdi"
+        if len(data) > 2048 * 17 and (
+                data[2048 * 16 + 1:2048 * 16 + 6] == b"BEA01"):
+            return "udf"
+        if data[:4] == b"\x7fELF":
+            return "elf"
+        from ..containers import misc as _misc, disk as _disk
+        if _misc.is_macho(data):
+            return "macho"
+        if _misc.is_pe(data):
+            return "pe"
+        if len(data) > 512 and data[510:512] == b"\x55\xaa" and \
+                (data[54:62] in (b"FAT12   ", b"FAT16   ")
+                 or data[82:90] == b"FAT32   "):
+            return "fat"
+        if len(data) > 512 and data[3:11] == b"NTFS    ":
+            return "ntfs"
+        if _disk.is_gpt(data):
+            return "gpt"
+        if _disk.is_vhd(data):
+            return "vhd"
+        if _misc.is_ihex(data):
+            return "ihex"
+        if _disk.is_mbr(data):
+            return "mbr"
     return "7z"
 
 
@@ -314,6 +363,36 @@ def _open_archive(opts, path):
     if atype == "ext":
         from ..containers import ext
         return atype, ext.read_ext(data), None
+    if atype in ("mbr", "gpt", "vhd", "qcow", "vdi", "vmdk", "vhdx"):
+        from ..containers import disk
+        fn = {"mbr": disk.read_mbr, "gpt": disk.read_gpt,
+              "vhd": disk.read_vhd, "qcow": disk.read_qcow,
+              "vdi": disk.read_vdi, "vmdk": disk.read_vmdk,
+              "vhdx": disk.read_vhdx}[atype]
+        return atype, fn(data), None
+    if atype in ("swf", "flv", "ihex", "base64", "pe", "elf", "macho",
+                 "arj"):
+        from ..containers import misc
+        fn = {"swf": misc.read_swf, "flv": misc.read_flv,
+              "ihex": misc.read_ihex, "base64": misc.read_base64,
+              "pe": misc.read_pe, "elf": misc.read_elf,
+              "macho": misc.read_macho, "arj": misc.read_arj}[atype]
+        return atype, fn(data), None
+    if atype == "fat":
+        from ..containers import fat
+        return atype, fat.read_fat(data), None
+    if atype == "ntfs":
+        from ..containers import ntfs
+        return atype, ntfs.read_ntfs(data), None
+    if atype == "udf":
+        from ..containers import udf
+        return atype, udf.read_udf(data), None
+    if atype == "chm":
+        from ..containers import chm
+        return atype, chm.read_chm(data), None
+    if atype == "rar":
+        from ..containers import rar
+        return atype, rar.read_rar(data), None
     codec = get_codec(atype)
     name = os.path.basename(path or "stdin")
     for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz", ".Z", ".lz", ".br"):
