@@ -267,6 +267,25 @@ def cmd_add(opts: Options, args):
     elif atype == "cab":
         from ..containers import cab
         out = cab.write_cab(files)
+    elif atype == "udf":
+        from ..containers import udf
+        out = udf.write_udf(files)
+    elif atype == "fat":
+        from ..containers import fat
+        out = fat.write_fat16(files)
+    elif atype == "vhd":
+        from ..containers import disk
+        if len(files) > 1:
+            raise TpuzError("-tvhd: single disk image expected")
+        out = disk.write_vhd_fixed(next(iter(files.values())))
+    elif atype == "ihex":
+        from ..containers import misc
+        if len(files) > 1:
+            raise TpuzError("-tihex: single input expected")
+        out = misc.write_ihex(next(iter(files.values())))
+    elif atype == "arj":
+        from ..containers import misc
+        out = misc.write_arj(files)
     else:
         if len(files) > 1:
             raise TpuzError(f"-t{atype}: single-stream format, got "
