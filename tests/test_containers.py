@@ -94,3 +94,23 @@ def test_tar_zst_stack(files):
     t = tarc.write_tar(files)
     tz = compressor.compress(t, level=3)
     assert tarc.read_tar(frame.decompress(tz)) == files
+
+
+def test_zip64_roundtrip_and_interop():
+    """ZIP64 structures (APPNOTE 4.5; ZipOut.cpp zip64 path) — forced
+    small-file zip64 must round-trip and be stdlib-readable."""
+    import io
+    import zipfile
+
+    from tpu7z.containers import zip as zc
+    files = {"a.txt": b"hello zip64 " * 500,
+             "b.bin": bytes(range(256)) * 100}
+    arc = zc.write_zip(files, zip64=True)
+    assert zc.read_zip(arc) == files
+    z = zipfile.ZipFile(io.BytesIO(arc))
+    assert z.read("a.txt") == files["a.txt"]
+    # and stdlib-produced archives still read fine
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("x.txt", b"stdlib content" * 200)
+    assert zc.read_zip(buf.getvalue())["x.txt"] == b"stdlib content" * 200

@@ -25,6 +25,10 @@ M_XZ = 95
 _LOCAL_SIG = 0x04034B50
 _CENTRAL_SIG = 0x02014B50
 _EOCD_SIG = 0x06054B50
+_EOCD64_SIG = 0x06064B50
+_EOCD64_LOC_SIG = 0x07064B50
+_FFFF = 0xFFFF
+_FFFFFFFF = 0xFFFFFFFF
 
 
 def _compress_entry(data: bytes, method: int, level: int):
@@ -85,7 +89,10 @@ def _decompress_entry(comp: bytes, method: int, usize: int) -> bytes:
 
 
 def write_zip(files: dict[str, bytes], method: int = M_DEFLATE,
-              level: int = 6) -> bytes:
+              level: int = 6, zip64: bool = False) -> bytes:
+    """`zip64` forces ZIP64 structures; they are also emitted
+    automatically when any size/offset exceeds 32 bits or the entry
+    count exceeds 65535 (APPNOTE 4.5; ZipOut.cpp zip64 path)."""
     out = bytearray()
     central = bytearray()
     count = 0
@@ -98,23 +105,52 @@ def write_zip(files: dict[str, bytes], method: int = M_DEFLATE,
         else:
             use_method, payload = method, comp
         offset = len(out)
-        # version needed: zstd needs 63, deflate 20
-        ver = 63 if use_method in (M_ZSTD, M_XZ) else 20
+        use64 = zip64 or len(payload) >= _FFFFFFFF or \
+            len(data) >= _FFFFFFFF or offset >= _FFFFFFFF
+        # version needed: zip64 needs 45, zstd 63, deflate 20
+        ver = 63 if use_method in (M_ZSTD, M_XZ) else (45 if use64
+                                                       else 20)
         flags = 1 << 11  # UTF-8 names
-        local = struct.pack("<IHHHHHIII H H".replace(" ", ""),
-                            _LOCAL_SIG, ver, flags, use_method, 0, 0,
-                            crc, len(payload), len(data), len(nb), 0)
-        out += local + nb + payload
-        central += struct.pack("<IHHHHHHIIIHHHHHII",
-                               _CENTRAL_SIG, ver, ver, flags, use_method,
-                               0, 0, crc, len(payload), len(data),
-                               len(nb), 0, 0, 0, 0, 0, offset)
-        central += nb
+        if use64:
+            lextra = struct.pack("<HHQQ", 0x0001, 16, len(data),
+                                 len(payload))
+            local = struct.pack("<IHHHHHIIIHH", _LOCAL_SIG, ver, flags,
+                                use_method, 0, 0, crc, _FFFFFFFF,
+                                _FFFFFFFF, len(nb), len(lextra))
+            out += local + nb + lextra + payload
+            cextra = struct.pack("<HHQQQ", 0x0001, 24, len(data),
+                                 len(payload), offset)
+            central += struct.pack("<IHHHHHHIIIHHHHHII",
+                                   _CENTRAL_SIG, ver, ver, flags,
+                                   use_method, 0, 0, crc, _FFFFFFFF,
+                                   _FFFFFFFF, len(nb), len(cextra),
+                                   0, 0, 0, 0, _FFFFFFFF)
+            central += nb + cextra
+        else:
+            local = struct.pack("<IHHHHHIIIHH", _LOCAL_SIG, ver, flags,
+                                use_method, 0, 0, crc, len(payload),
+                                len(data), len(nb), 0)
+            out += local + nb + payload
+            central += struct.pack("<IHHHHHHIIIHHHHHII",
+                                   _CENTRAL_SIG, ver, ver, flags,
+                                   use_method, 0, 0, crc, len(payload),
+                                   len(data), len(nb), 0, 0, 0, 0, 0,
+                                   offset)
+            central += nb
         count += 1
     cd_off = len(out)
     out += central
-    out += struct.pack("<IHHHHIIH", _EOCD_SIG, 0, 0, count, count,
-                       len(central), cd_off, 0)
+    if zip64 or count >= _FFFF or cd_off >= _FFFFFFFF:
+        eocd64_off = len(out)
+        out += struct.pack("<IQHHIIQQQQ", _EOCD64_SIG, 44, 45, 45, 0, 0,
+                           count, count, len(central), cd_off)
+        out += struct.pack("<IIQI", _EOCD64_LOC_SIG, 0, eocd64_off, 1)
+        out += struct.pack("<IHHHHIIH", _EOCD_SIG, 0, 0,
+                           min(count, _FFFF), min(count, _FFFF),
+                           len(central), min(cd_off, _FFFFFFFF), 0)
+    else:
+        out += struct.pack("<IHHHHIIH", _EOCD_SIG, 0, 0, count, count,
+                           len(central), cd_off, 0)
     return bytes(out)
 
 
@@ -124,6 +160,17 @@ def read_zip(data: bytes, verify_crc: bool = True) -> dict[str, bytes]:
         raise CorruptError("zip: no end-of-central-directory")
     (_sig, _dn, _cdn, count, _total, cd_size, cd_off, _clen) = struct.unpack(
         "<IHHHHIIH", data[eocd:eocd + 22])
+    # ZIP64: sentinel values redirect through the EOCD64 locator
+    if count == _FFFF or cd_off == _FFFFFFFF:
+        loc = eocd - 20
+        if loc < 0 or data[loc:loc + 4] != struct.pack("<I",
+                                                       _EOCD64_LOC_SIG):
+            raise CorruptError("zip: missing zip64 EOCD locator")
+        e64_off, = struct.unpack_from("<Q", data, loc + 8)
+        if data[e64_off:e64_off + 4] != struct.pack("<I", _EOCD64_SIG):
+            raise CorruptError("zip: bad zip64 EOCD")
+        (_s, _sz, _vm, _vn, _d1, _d2, count, _tot, cd_size,
+         cd_off) = struct.unpack_from("<IQHHIIQQQQ", data, e64_off)
     pos = cd_off
     files: dict[str, bytes] = {}
     for _ in range(count):
@@ -134,6 +181,25 @@ def read_zip(data: bytes, verify_crc: bool = True) -> dict[str, bytes]:
             "<IHHHHHHIIIHHHHHII", data[pos:pos + 46])
         name = data[pos + 46:pos + 46 + nlen].decode(
             "utf-8" if flags & (1 << 11) else "cp437", errors="replace")
+        # zip64 extended information extra field (id 0x0001): holds,
+        # in order, only the fields set to the 32-bit sentinel above
+        extra = data[pos + 46 + nlen:pos + 46 + nlen + xlen]
+        ep = 0
+        while ep + 4 <= len(extra):
+            eid, esz = struct.unpack_from("<HH", extra, ep)
+            if eid == 0x0001:
+                f = extra[ep + 4:ep + 4 + esz]
+                fp = 0
+                if usize == _FFFFFFFF:
+                    usize, = struct.unpack_from("<Q", f, fp)
+                    fp += 8
+                if csize == _FFFFFFFF:
+                    csize, = struct.unpack_from("<Q", f, fp)
+                    fp += 8
+                if offset == _FFFFFFFF:
+                    offset, = struct.unpack_from("<Q", f, fp)
+                    fp += 8
+            ep += 4 + esz
         pos += 46 + nlen + xlen + clen
         # local header to find data start
         (lsig, _lv, _lf, lmethod, _lt, _ld, _lcrc, lcsize, _lusize,
