@@ -41,3 +41,33 @@ def test_reference_extracts_ours(tmp_path, corpus, comp):
     assert r.returncode == 0, r.stderr
     assert (out / "x.txt").read_bytes() == files["x.txt"]
     assert (out / "sub" / "y.bin").read_bytes() == files["sub/y.bin"]
+
+
+def test_cab_lzx_roundtrip(corpus):
+    """LZX folders (typeCompress 3, window bits in bits 8-12) — both
+    directions through our codec (CabHandler LZX path)."""
+    from tpu7z.containers import cab
+    files = {"a.txt": corpus["text"][:60000],
+             "b.bin": bytes(range(256)) * 300,
+             "r.bin": corpus["random"][:40000]}
+    arc = cab.write_cab(files, compression="lzx")
+    assert cab.read_cab(arc) == files
+
+
+def test_cab_lzx_reference_interop(tmp_path):
+    import subprocess
+
+    from tests.conftest import REF_7ZZ, have_ref
+    if not have_ref():
+        import pytest
+        pytest.skip("reference 7zz binary not built")
+    from tpu7z.containers import cab
+    files = {"doc.txt": b"reference reads cab lzx " * 4000}
+    arc = tmp_path / "t.cab"
+    arc.write_bytes(cab.write_cab(files, compression="lzx"))
+    r = subprocess.run([REF_7ZZ, "t", str(arc)], capture_output=True,
+                       text=True)
+    assert "Everything is Ok" in r.stdout, r.stdout
+    r = subprocess.run([REF_7ZZ, "e", "-so", str(arc), "doc.txt"],
+                       capture_output=True)
+    assert r.stdout == files["doc.txt"]

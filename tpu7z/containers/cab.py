@@ -29,6 +29,7 @@ from ..utils.errors import CorruptError, UnsupportedError
 MAGIC = b"MSCF"
 COMP_NONE = 0
 COMP_MSZIP = 1
+COMP_LZX = 3
 CFDATA_MAX = 32768
 
 
@@ -51,18 +52,36 @@ def _csum(data: bytes, seed: int = 0) -> int:
 
 def write_cab(files: dict[str, bytes],
               compression: str = "mszip") -> bytes:
-    """Single-folder cabinet; compression 'none' or 'mszip'."""
-    comp = COMP_MSZIP if compression == "mszip" else COMP_NONE
+    """Single-folder cabinet; compression 'none', 'mszip' or 'lzx'."""
+    comp = {"mszip": COMP_MSZIP, "lzx": COMP_LZX}.get(compression,
+                                                      COMP_NONE)
     names = list(files)
     blob = b"".join(files[n] for n in names)
 
+    lzx_wbits = 16
+    rawtype = comp | (lzx_wbits << 8) if comp == COMP_LZX else comp
     # CFDATA blocks (a deflate stream over a 32 KiB chunk stays well
     # under the u16 cbData limit even on incompressible data)
     datas = []
+    first = True
+    prev_trees = {"main": None, "len": None}
     for off in range(0, max(len(blob), 1), CFDATA_MAX):
         chunk = blob[off:off + CFDATA_MAX]
-        payload = b"CK" + deflate.compress(chunk) \
-            if comp == COMP_MSZIP else chunk
+        if comp == COMP_MSZIP:
+            payload = b"CK" + deflate.compress(chunk)
+        elif comp == COMP_LZX:
+            from ..models import lzx as lzxm
+            lens = {}
+            payload = lzxm.encode_frame(
+                chunk, lzx_wbits, write_header=first,
+                prev_main=prev_trees["main"],
+                prev_len=prev_trees["len"], out_lens=lens)
+            prev_trees = lens
+            if len(payload) % 2:
+                payload += b"\0"
+        else:
+            payload = chunk
+        first = False
         if len(payload) > 0xFFFF:
             raise UnsupportedError("cab: CFDATA payload overflow")
         datas.append((payload, len(chunk)))
@@ -91,7 +110,7 @@ def write_cab(files: dict[str, bytes],
     out = bytearray()
     out += MAGIC + struct.pack("<IIIII", 0, total, 0, coff_files, 0)
     out += struct.pack("<BBHHHHH", 3, 1, 1, len(names), 0, 0x1234, 0)
-    out += struct.pack("<IHH", coff_data, len(datas), comp)
+    out += struct.pack("<IHH", coff_data, len(datas), rawtype)
     out += cffile
     out += cfdata
     return bytes(out)
@@ -114,7 +133,7 @@ def read_cab(data: bytes) -> dict[str, bytes]:
     folders = []
     for _ in range(nfolders):
         coff, ndata, ctype = struct.unpack_from("<IHH", data, pos)
-        folders.append((coff, ndata, ctype & 0xF))
+        folders.append((coff, ndata, ctype))
         pos += 8
 
     pos = coff_files
@@ -130,10 +149,21 @@ def read_cab(data: bytes) -> dict[str, bytes]:
 
     # decode each folder's data stream
     folder_blobs = []
-    for coff, ndata, ctype in folders:
-        if ctype not in (COMP_NONE, COMP_MSZIP):
+    for coff, ndata, rawtype in folders:
+        ctype = rawtype & 0xF
+        if ctype not in (COMP_NONE, COMP_MSZIP, COMP_LZX):
             raise UnsupportedError(f"cab: compression type {ctype}"
-                                   " (LZX/Quantum not implemented)")
+                                   " (Quantum not implemented)")
+        lzx_state = None
+        lzx_out = None
+        if ctype == COMP_LZX:
+            # window bits live in typeCompress bits 8-12
+            # (CabIn.cpp folder parse; LZX per-CFDATA 32KB frames with
+            # history kept across the folder)
+            from ..models import lzx as lzxm
+            wbits = (rawtype >> 8) & 0x1F
+            lzx_state = lzxm.State(wbits)
+            lzx_out = bytearray()
         p = coff
         blob = bytearray()
         for _ in range(ndata):
@@ -149,6 +179,13 @@ def read_cab(data: bytes) -> dict[str, bytes]:
                 if len(payload) != cbu:
                     raise CorruptError("cab: stored size mismatch")
                 blob += payload
+            elif ctype == COMP_LZX:
+                from ..models import lzx as lzxm
+                start = len(lzx_out)
+                lzxm.decode_frame(lzx_state, payload, lzx_out, cbu)
+                lzxm._e8_filter(lzx_out, start, cbu,
+                                lzx_state.e8_size)
+                blob += lzx_out[start:start + cbu]
             else:
                 if payload[:2] != b"CK":
                     raise CorruptError("cab: bad MSZIP signature")

@@ -383,8 +383,13 @@ def _huff_lengths(freqs, limit: int):
     if not live:
         return [0] * len(freqs)
     if len(live) == 1:
+        # a 1-symbol code is Kraft-incomplete and rejected by strict
+        # decoders (the reference Huffman builder) — pair it with a
+        # never-emitted dummy symbol so both get 1-bit codes
         out = [0] * len(freqs)
-        out[live[0][1]] = 1
+        i = live[0][1]
+        out[i] = 1
+        out[(i + 1) % len(freqs)] = 1
         return out
     heap = [(f, [i]) for f, i in live]
     heapq.heapify(heap)
@@ -398,7 +403,8 @@ def _huff_lengths(freqs, limit: int):
     out = [0] * len(freqs)
     for i, d in depth.items():
         out[i] = min(d, limit)
-    # repair Kraft inequality after clamping
+    # repair the Kraft sum after clamping: strict decoders (the
+    # reference Huffman builder) demand an exactly complete code
     def kraft():
         return sum(1 << (limit - l) for l in out if l)
     while kraft() > (1 << limit):
@@ -407,6 +413,18 @@ def _huff_lengths(freqs, limit: int):
         if cand is None:
             raise CorruptError("lzx: cannot build length-limited code")
         out[out.index(cand)] = cand + 1
+    deficit = (1 << limit) - kraft()
+    while deficit > 0:
+        # shorten the deepest symbol whose promotion fits the deficit
+        best = None
+        for i, l in enumerate(out):
+            if l > 1 and (1 << (limit - l)) <= deficit:
+                if best is None or l > out[best]:
+                    best = i
+        if best is None:
+            raise CorruptError("lzx: cannot complete huffman code")
+        deficit -= 1 << (limit - out[best])
+        out[best] -= 1
     return out
 
 
@@ -422,13 +440,14 @@ def _huff_codes(lengths):
     return codes
 
 
-def _write_lengths(bw: _BitWriter, lengths):
-    """Pretree + delta codes for a code-length vector (prev = zeros,
-    since the encoder resets state every frame)."""
-    # delta symbols from the all-zero previous state
+def _write_lengths(bw: _BitWriter, lengths, prev=None):
+    """Pretree + delta codes for a code-length vector, delta-coded
+    against `prev` (zeros for a fresh state)."""
+    n = len(lengths)
+    if prev is None:
+        prev = [0] * n
     syms = []
     i = 0
-    n = len(lengths)
     while i < n:
         if lengths[i] == 0:
             run = 0
@@ -445,10 +464,10 @@ def _write_lengths(bw: _BitWriter, lengths):
                 run -= take
                 i += take
             for _ in range(run):
-                syms.append(((0 - lengths[i]) % 17, None, 0))
+                syms.append(((prev[i] - lengths[i]) % 17, None, 0))
                 i += 1
         else:
-            syms.append(((0 - lengths[i]) % 17, None, 0))
+            syms.append(((prev[i] - lengths[i]) % 17, None, 0))
             i += 1
     freqs = [0] * 20
     for s, _, _ in syms:
@@ -472,9 +491,15 @@ def _slot_for(formatted: int) -> int:
     return slot
 
 
-def encode_frame(data: bytes, window_bits: int = 16) -> bytes:
-    """One fresh-state LZX frame (<= 32KB) as a single verbatim block.
-    Falls back to an uncompressed block when expansion would result."""
+def encode_frame(data: bytes, window_bits: int = 16,
+                 write_header: bool = True, prev_main=None,
+                 prev_len=None, out_lens=None) -> bytes:
+    """One LZX frame (<= 32KB) as a single verbatim block. Falls back
+    to an uncompressed block when expansion would result.
+    `write_header=False` omits the E8 bit and `prev_main`/`prev_len`
+    carry the previous frame's tree lengths for continuation frames in
+    keep-history streams (CAB folders). `out_lens`, when a dict, gets
+    the emitted tree lengths for the caller to chain."""
     if len(data) > FRAME:
         raise CorruptError("lzx: frame too large")
     nslots = _NUM_SLOTS[window_bits]
@@ -533,13 +558,19 @@ def encode_frame(data: bytes, window_bits: int = 16) -> bytes:
     len_codes = _huff_codes(len_lens)
 
     bw = _BitWriter()
-    bw.write(0, 1)                     # no E8 translation
+    if write_header:
+        bw.write(0, 1)                 # no E8 translation
     bw.write(1, 3)                     # verbatim block
     bw.write(n >> 8, 16)
     bw.write(n & 0xFF, 8)
-    _write_lengths(bw, main_lens[:256])
-    _write_lengths(bw, main_lens[256:])
-    _write_lengths(bw, len_lens)
+    pm = prev_main if prev_main is not None else [0] * main_size
+    pl = prev_len if prev_len is not None else [0] * 249
+    _write_lengths(bw, main_lens[:256], pm[:256])
+    _write_lengths(bw, main_lens[256:], pm[256:])
+    _write_lengths(bw, len_lens, pl)
+    if out_lens is not None:
+        out_lens["main"] = main_lens
+        out_lens["len"] = len_lens
     for is_m, t in tokens:
         if not is_m:
             bw.write(main_codes[t], main_lens[t])
@@ -559,9 +590,13 @@ def encode_frame(data: bytes, window_bits: int = 16) -> bytes:
     comp = bytes(bw)
     if len(comp) < n:
         return comp
-    # uncompressed-block fallback
+    # uncompressed-block fallback (leaves tree state unchanged)
+    if out_lens is not None:
+        out_lens["main"] = prev_main
+        out_lens["len"] = prev_len
     bw = _BitWriter()
-    bw.write(0, 1)
+    if write_header:
+        bw.write(0, 1)
     bw.write(3, 3)
     bw.write(n >> 8, 16)
     bw.write(n & 0xFF, 8)
