@@ -580,6 +580,11 @@ def main(argv=None) -> int:
         return 0
     cmd = argv[0]
     opts, rest = _parse_switches(argv[1:])
+    # external codec plugins (LoadCodecs.cpp analog): scanned before
+    # dispatch so -t/-m can name plugin codecs
+    from ..utils import plugins as _plugins
+    if _plugins.plugin_dirs():
+        _plugins.load_plugins()
     try:
         if cmd == "a":
             return cmd_add(opts, rest)

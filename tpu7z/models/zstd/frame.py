@@ -240,6 +240,14 @@ def decompress(src: bytes, verify_checksum: bool = True,
     the CPU analog of C/zstd/zstd_decompress_block.c). On any native
     failure (unsupported feature, corrupt data) we fall through to the
     Python/numpy decoder, which raises precise errors."""
+    from ...utils import trace as _trace
+    if _trace.enabled():
+        with _trace.span("zstd.decompress", size=len(src)):
+            return _decompress_impl(src, verify_checksum, use_native)
+    return _decompress_impl(src, verify_checksum, use_native)
+
+
+def _decompress_impl(src, verify_checksum=True, use_native=True):
     if use_native:
         from ... import native as _native
         out = _native.zstd_decode(bytes(src), verify_checksum)
@@ -263,6 +271,15 @@ def compress(data: bytes, level: int = 3, use_native: bool = True,
     overlap-prefix job model (parallel/zstd_jobs.py) producing ONE frame
     whose bytes do not depend on the worker count; fallback /
     use_native=False: the data-parallel numpy twin (compressor.py)."""
+    from ...utils import trace as _trace
+    if _trace.enabled():
+        with _trace.span("zstd.compress", level=level, size=len(data)):
+            return _compress_impl(data, level, use_native, threads,
+                                  **kw)
+    return _compress_impl(data, level, use_native, threads, **kw)
+
+
+def _compress_impl(data, level=3, use_native=True, threads=None, **kw):
     if use_native and not kw:
         from ... import native as _native
         if threads and threads > 1:
