@@ -36,6 +36,7 @@ _EXT_TYPES = {
     ".sys": "pe", ".so": "elf", ".dylib": "macho", ".arj": "arj",
     ".fat": "fat", ".ntfs": "ntfs", ".udf": "udf", ".chm": "chm",
     ".qcow2": "qcow", ".qcow": "qcow", ".vdi": "vdi", ".vmdk": "vmdk",
+    ".dmg": "dmg", ".hfs": "hfs",
     ".vhdx": "vhdx", ".rar": "rar",
     # .img is deliberately absent: generic disk images (FAT, raw dd,
     # hybrid ISO) are routed by the 0xEF53-at-1080 content sniff instead
@@ -117,6 +118,10 @@ def _sniff_type(path: str, data: bytes | None = None) -> str:
             return "udf"
         if data[:4] == b"\x7fELF":
             return "elf"
+        if len(data) >= 512 and data[-512:-508] == b"koly":
+            return "dmg"
+        if len(data) > 1536 and data[1024:1026] in (b"H+", b"HX"):
+            return "hfs"
         from ..containers import misc as _misc, disk as _disk
         if _misc.is_macho(data):
             return "macho"
@@ -409,6 +414,12 @@ def _open_archive(opts, path):
     if atype == "chm":
         from ..containers import chm
         return atype, chm.read_chm(data), None
+    if atype == "dmg":
+        from ..containers import dmg
+        return atype, dmg.read_dmg(data), None
+    if atype == "hfs":
+        from ..containers import hfs
+        return atype, hfs.read_hfs(data), None
     if atype == "rar":
         from ..containers import rar
         return atype, rar.read_rar(data), None
