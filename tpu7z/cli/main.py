@@ -99,6 +99,9 @@ def _sniff_type(path: str, data: bytes | None = None) -> str:
             return "rar"
         if data[:4] == b"ITSF":
             return "chm"
+        from ..containers import nsis as _nsis
+        if len(data) > 512 and data[:2] == b"MZ" and _nsis.is_nsis(data):
+            return "nsis"
         if data[:3] in (b"FWS", b"CWS", b"ZWS"):
             return "swf"
         if data[:3] == b"FLV":
@@ -420,6 +423,9 @@ def _open_archive(opts, path):
     if atype == "hfs":
         from ..containers import hfs
         return atype, hfs.read_hfs(data), None
+    if atype == "nsis":
+        from ..containers import nsis
+        return atype, nsis.read_nsis(data), None
     if atype == "rar":
         from ..containers import rar
         return atype, rar.read_rar(data), None
