@@ -150,8 +150,8 @@ def test_vdi_roundtrip():
     hdr[64:68] = b"\x7f\x10\xda\xbe"
     struct.pack_into("<II", hdr, 340, 512, 512 + 4 * 2)  # maps, data
     struct.pack_into("<Q", hdr, 368, 2 * bs)
-    struct.pack_into("<I", hdr, 380, bs)
-    struct.pack_into("<I", hdr, 388, 2)
+    struct.pack_into("<I", hdr, 376, bs)   # cbBlock @ 0x178
+    struct.pack_into("<I", hdr, 384, 2)    # cBlocks @ 0x180
     bmap = struct.pack("<II", 0, 0xFFFFFFFF)  # blk0 alloc'd, blk1 sparse
     img = bytes(hdr)[:340 + 8] + b""  # rebuild precisely below
     base = bytearray(600)

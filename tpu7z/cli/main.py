@@ -43,10 +43,22 @@ _EXT_TYPES = {
 }
 
 
+# Extensions whose content must be sniffed first: .exe/.dll may be NSIS
+# installers or SFX archives (NsisHandler/7zHandler accept them by
+# content in the reference) — extension is only the fallback.
+_AMBIGUOUS_EXTS = {".exe": "pe", ".dll": "pe", ".sys": "pe"}
+
+
 def _sniff_type(path: str, data: bytes | None = None) -> str:
-    for ext, t in _EXT_TYPES.items():
+    fallback = None
+    for ext, t in _AMBIGUOUS_EXTS.items():
         if path.endswith(ext):
-            return t
+            fallback = t
+            break
+    if fallback is None:
+        for ext, t in _EXT_TYPES.items():
+            if path.endswith(ext):
+                return t
     if data:
         if data[:6] == b"7z\xbc\xaf\x27\x1c":
             return "7z"
@@ -144,6 +156,13 @@ def _sniff_type(path: str, data: bytes | None = None) -> str:
             return "ihex"
         if _disk.is_mbr(data):
             return "mbr"
+    if fallback is not None:
+        # .exe/.dll with no recognized installer/archive content: if a 7z
+        # SFX signature is embedded, open as 7z; else treat as PE/COFF.
+        if data and data[:2] == b"MZ" and \
+                data.find(b"7z\xbc\xaf\x27\x1c", 0, 1 << 22) > 0:
+            return "7z"
+        return fallback
     return "7z"
 
 

@@ -293,8 +293,9 @@ def read_vdi(raw: bytes) -> dict:
         raise CorruptError("vdi: bad signature")
     blocks_off, data_off = struct.unpack_from("<II", raw, 340)
     size, = struct.unpack_from("<Q", raw, 368)
-    block_size, = struct.unpack_from("<I", raw, 380)
-    nblocks, = struct.unpack_from("<I", raw, 388)
+    # cbBlock at 0x178=376, cBlocks at 0x180=384 (VdiHandler.cpp:322-323)
+    block_size, = struct.unpack_from("<I", raw, 376)
+    nblocks, = struct.unpack_from("<I", raw, 384)
     if block_size == 0 or block_size > (64 << 20):
         raise CorruptError("vdi: bad block size")
     if size > (1 << 40):

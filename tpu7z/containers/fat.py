@@ -88,7 +88,7 @@ class _Fat:
                 break
             off = self.data_off + (c - 2) * cbytes
             out.extend(self.raw[off:off + cbytes])
-            if len(out) >= limit:
+            if limit >= 0 and len(out) >= limit:
                 break
             c = self.next_cluster(c)
             if c >= 0x0FFFFFF7:

@@ -368,6 +368,8 @@ def read_arj(raw: bytes) -> dict:
         hdr = raw[pos + 4:pos + 4 + hsize]
         if len(hdr) != hsize:
             raise CorruptError("arj: truncated header")
+        if pos + 4 + hsize + 4 > len(raw):
+            raise CorruptError("arj: truncated header CRC")
         crc, = struct.unpack_from("<I", raw, pos + 4 + hsize)
         if zlib.crc32(hdr) != crc:
             raise CorruptError("arj: header CRC mismatch")
@@ -380,11 +382,15 @@ def read_arj(raw: bytes) -> dict:
         pos += 4 + hsize + 4
         # extended headers: sequence of (u16 size, data, u32 crc), 0 ends
         while True:
+            if pos + 2 > len(raw):
+                raise CorruptError("arj: truncated extended header")
             esize, = struct.unpack_from("<H", raw, pos)
             pos += 2
             if esize == 0:
                 break
             pos += esize + 4
+            if pos > len(raw):
+                raise CorruptError("arj: truncated extended header")
         if not first:
             body = raw[pos:pos + csize]
             if len(body) != csize:

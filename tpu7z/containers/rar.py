@@ -103,7 +103,9 @@ def _read_rar5(raw: bytes) -> dict:
                 flush()
                 pending = {"name": name, "crc": dcrc, "usize": usize}
                 parts = [body]
-                if not fflags & 0x08:  # not split-after: complete
+                # split-after = header flag 0x10 "data continues in next
+                # volume" (not file flag 0x08 = size-unknown)
+                if not bflags & 0x10:
                     flush()
         elif btype == 5:  # end of archive
             break

@@ -219,6 +219,12 @@ def _read_streams_info(r: ByteReader) -> StreamsInfo:
 
 class SevenZipReader:
     def __init__(self, data: bytes, password: str | None = None):
+        # SFX support: archives embedded after an executable stub are
+        # found by scanning for the signature (7zIn kSearchLimit analog).
+        if len(data) >= 32 and data[:6] != F.SIGNATURE and data[:2] == b"MZ":
+            pos = data.find(F.SIGNATURE, 0, 1 << 22)
+            if pos > 0:
+                data = data[pos:]
         self.data = data
         self.password = password
         if len(data) < 32 or data[:6] != F.SIGNATURE:

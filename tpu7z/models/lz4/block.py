@@ -343,7 +343,7 @@ def compress_block(src, accel: int = 1, hashlog: int = 16,
     Host fast path: the C++ greedy encoder in tpu7z/native (284 MB/s,
     the CPU tier — reference analog C/lz4/lz4.c LZ4_compress_default).
     Fallback / use_native=False: the fully data-parallel numpy parse
-    (the host twin of the device pipeline in ops/lz4_emit_jax.py).
+    (the host twin of the device plane pipeline in ops/lz4_plane.py).
     """
     if use_native and accel == 1 and hashlog == 16 and len(src) > 0:
         try:
