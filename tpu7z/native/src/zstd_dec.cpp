@@ -534,7 +534,39 @@ struct DecState {
     std::vector<uint8_t> lits;  // literal scratch (128K + slack)
     std::vector<uint32_t> seq_ll, seq_ml;
     std::vector<uint64_t> seq_of;
+    // packed 64-bit decode entries (value base/bits fused into the FSE
+    // entry, the reference's ZSTD_seqSymbol idea): one load per state
+    // per sequence. Layout: vbase<<32 | vbits<<24 | nb<<16 | nextbase.
+    uint64_t llp[1 << MAX_LL_LOG];
+    uint64_t mlp[1 << MAX_ML_LOG];
+    uint64_t ofp[1 << MAX_OF_LOG];
+    unsigned max_ofb = 0;  // max offset value-bits in ofp
 };
+
+static void pack_table(const FseDTable& dt, uint64_t* out,
+                       const uint32_t* vbase, const uint8_t* vbits) {
+    unsigned size = 1u << dt.accuracy_log;
+    for (unsigned s = 0; s < size; s++) {
+        uint32_t e = dt.ent[s];
+        unsigned sym = e & 0xFF;
+        out[s] = ((uint64_t)vbase[sym] << 32) | ((uint64_t)vbits[sym] << 24)
+                 | ((uint64_t)((e >> 8) & 0xFF) << 16) | (e >> 16);
+    }
+}
+
+static unsigned pack_of_table(const FseDTable& dt, uint64_t* out) {
+    unsigned size = 1u << dt.accuracy_log;
+    unsigned maxb = 0;
+    for (unsigned s = 0; s < size; s++) {
+        uint32_t e = dt.ent[s];
+        unsigned sym = e & 0xFF;        // of_code: vbits = sym, vbase = 1<<sym
+        if (sym > MAX_OF_CODE) throw Err{};
+        if (sym > maxb) maxb = sym;
+        out[s] = ((uint64_t)(1u << sym) << 32) | ((uint64_t)sym << 24)
+                 | ((uint64_t)((e >> 8) & 0xFF) << 16) | (e >> 16);
+    }
+    return maxb;
+}
 
 // literals.py decode()
 static size_t decode_literals(const uint8_t* src, size_t n, DecState& st,
@@ -659,7 +691,8 @@ static size_t read_seq_table(unsigned mode, const uint8_t* src, size_t n,
                              size_t pos, const int16_t* def_norm,
                              unsigned def_nsym, unsigned def_log,
                              unsigned max_sym, unsigned max_log,
-                             FseDTable& dt, bool have_prev) {
+                             FseDTable& dt, bool have_prev, bool* rebuilt) {
+    *rebuilt = true;
     if (mode == 0) {
         build_dtable(def_norm, def_nsym, def_log, dt);
         return pos;
@@ -679,173 +712,30 @@ static size_t read_seq_table(unsigned mode, const uint8_t* src, size_t n,
         return pos + r.bytes_consumed();
     }
     if (!have_prev) throw Err{};
+    *rebuilt = false;
     return pos;  // repeat: keep dt as-is
 }
 
-// Decode a compressed block's sequences + execute into out[op..].
-// Returns new op.
-static size_t decode_block(const uint8_t* src, size_t n, DecState& st,
-                           uint8_t* out, size_t op, size_t cap,
-                           size_t frame_base) {
-    size_t lit_size = 0;
-#ifdef TZ_PROF
-    unsigned long long tz_t0 = TZ_TICK();
-#endif
-    size_t used = decode_literals(src, n, st, &lit_size);
-#ifdef TZ_PROF
-    unsigned long long tz_t1 = TZ_TICK();
-    tz_prof_lit += tz_t1 - tz_t0;
-#endif
-    if (used > n) throw Err{};
-    const uint8_t* sp = src + used;
-    size_t sn = n - used;
 
-    // sequence count
-    if (sn == 0) throw Err{};
-    unsigned b0 = sp[0];
-    size_t pos = 1;
-    size_t nseq;
-    if (b0 < 128) {
-        nseq = b0;
-    } else if (b0 < 255) {
-        if (sn < 2) throw Err{};
-        nseq = ((size_t)(b0 - 128) << 8) + sp[1];
-        pos = 2;
-    } else {
-        if (sn < 3) throw Err{};
-        nseq = sp[1] + ((size_t)sp[2] << 8) + 0x7F00;
-        pos = 3;
-    }
-
-    if (nseq == 0) {
-        // all-literal block
-        if (op + lit_size > cap) throw Err{};
-        std::memcpy(out + op, st.lits.data(), lit_size);
-        return op + lit_size;
-    }
-
-    if (pos >= sn) throw Err{};
-    unsigned modes = sp[pos++];
-    if (modes & 3) throw Err{};
-    unsigned ll_mode = (modes >> 6) & 3;
-    unsigned of_mode = (modes >> 4) & 3;
-    unsigned ml_mode = (modes >> 2) & 3;
-
-    pos = read_seq_table(ll_mode, sp, sn, pos, LL_DEF_NORM, 36, 6,
-                         MAX_LL_CODE, MAX_LL_LOG, st.ll, st.tables_valid);
-    pos = read_seq_table(of_mode, sp, sn, pos, OF_DEF_NORM, 29, 5,
-                         MAX_OF_CODE, MAX_OF_LOG, st.of, st.tables_valid);
-    pos = read_seq_table(ml_mode, sp, sn, pos, ML_DEF_NORM, 53, 6,
-                         MAX_ML_CODE, MAX_ML_LOG, st.ml, st.tables_valid);
-    st.tables_valid = true;
-#ifdef TZ_PROF
-    unsigned long long tz_t2 = TZ_TICK();
-    tz_prof_tab += tz_t2 - tz_t1;
-#endif
-    if (pos > sn) throw Err{};
-
-    BackBits br;
-    if (!br.init(sp + pos, sn - pos)) throw Err{};
-    uint32_t ll_state = br.read(st.ll.accuracy_log);
-    uint32_t of_state = br.read(st.of.accuracy_log);
-    uint32_t ml_state = br.read(st.ml.accuracy_log);
-
-    // decode + execute fused: literals copied from st.lits as we go
-    const uint8_t* lp = st.lits.data();
-    size_t lit_left = lit_size;
-    uint64_t r0 = st.rep[0], r1 = st.rep[1], r2 = st.rep[2];
-
-    const uint32_t* llt = st.ll.ent;
-    const uint32_t* oft = st.of.ent;
-    const uint32_t* mlt = st.ml.ent;
-
-    for (size_t i = 0; i < nseq; i++) {
-        // one packed load per state: symbol | nb_bits<<8 | base<<16
-        uint32_t el = llt[ll_state];
-        uint32_t eo = oft[of_state];
-        uint32_t em = mlt[ml_state];
-        unsigned ll_code = el & 0xFF;
-        unsigned of_code = eo & 0xFF;
-        unsigned ml_code = em & 0xFF;
-        if (of_code > MAX_OF_CODE) throw Err{};
-        unsigned ofb = of_code;
-        unsigned mlb = ML_BITS[ml_code];
-        unsigned llb = LL_BITS[ll_code];
-
-        uint32_t vof, vml, vll;
-        if (i + 1 < nseq) {
-            unsigned nbl = (el >> 8) & 0xFF;
-            unsigned nbm = (em >> 8) & 0xFF;
-            unsigned nbo = (eo >> 8) & 0xFF;
-            unsigned tot = ofb + mlb + llb + nbl + nbm + nbo;
-            uint32_t bll, bml, bof;
-            if (br.bitpos >= 57 && tot <= 57) {
-                // all six fields of this sequence from ONE 8-byte window
-                // (bitpos>=57 guarantees B+8 <= len; see huf fast path)
-                size_t B = (size_t)(br.bitpos - 57) >> 3;
-                uint64_t acc;
-                std::memcpy(&acc, br.data + B, 8);
-                unsigned c = (unsigned)(br.bitpos - 8 * B);
-                // zero-width fields: mask is 0, (c&63) keeps the shift
-                // defined when c == 64
-                c -= ofb;
-                vof = (uint32_t)((acc >> (c & 63)) & ((1ull << ofb) - 1));
-                c -= mlb;
-                vml = (uint32_t)((acc >> (c & 63)) & ((1ull << mlb) - 1));
-                c -= llb;
-                vll = (uint32_t)((acc >> (c & 63)) & ((1ull << llb) - 1));
-                c -= nbl;
-                bll = (uint32_t)((acc >> (c & 63)) & ((1ull << nbl) - 1));
-                c -= nbm;
-                bml = (uint32_t)((acc >> (c & 63)) & ((1ull << nbm) - 1));
-                c -= nbo;
-                bof = (uint32_t)((acc >> (c & 63)) & ((1ull << nbo) - 1));
-                br.bitpos -= tot;
-            } else {
-                br.read3(ofb, mlb, llb, &vof, &vml, &vll);
-                br.read3(nbl, nbm, nbo, &bll, &bml, &bof);
-            }
-            ll_state = (el >> 16) + bll;
-            ml_state = (em >> 16) + bml;
-            of_state = (eo >> 16) + bof;
-        } else {
-            // final sequence: states are not advanced past the last read
-            br.read3(ofb, mlb, llb, &vof, &vml, &vll);
-        }
-        uint64_t of_value = ((uint64_t)1 << of_code) + vof;
-        uint64_t ml = ML_BASE[ml_code] + vml;
-        uint64_t ll = LL_BASE[ll_code] + vll;
-
-        // resolve repeat offsets (sequences.py resolve_offsets)
-        uint64_t off;
-        if (of_value > 3) {
-            off = of_value - 3;
-            r2 = r1; r1 = r0; r0 = off;
-        } else if (ll == 0) {
-            if (of_value == 1) { off = r1; r1 = r0; r0 = off; }
-            else if (of_value == 2) { off = r2; r2 = r1; r1 = r0; r0 = off; }
-            else {
-                off = r0 - 1;
-                if (off == 0 || r0 == 0) throw Err{};
-                r2 = r1; r1 = r0; r0 = off;
-            }
-        } else {
-            if (of_value == 1) { off = r0; }
-            else if (of_value == 2) { off = r1; r1 = r0; r0 = off; }
-            else { off = r2; r2 = r1; r1 = r0; r0 = off; }
-        }
-
+// Execute one sequence: literal run then match copy. Shared by the hot
+// sequence loop and the careful tail; must stay always_inline so each
+// caller's register allocation absorbs it.
+static inline __attribute__((always_inline)) void exec_seq(
+    uint8_t* out, size_t& op, size_t cap, size_t frame_base,
+    const uint8_t*& lp, size_t& lit_left,
+    uint64_t ll, uint64_t ml, uint64_t off) {
         // execute: literal run then match copy
         if (ll > lit_left) throw Err{};
         if (op + ll + ml > cap) throw Err{};
-        if (ll) {
-            if (ll <= 16 && op + 16 <= cap) {
-                std::memcpy(out + op, lp, 16);  // lits buffer has slack
-            } else {
-                std::memcpy(out + op, lp, ll);
-            }
-            lp += ll; lit_left -= ll; op += ll;
+        if (ll <= 16 && op + 16 <= cap) {
+            // unconditional 16-byte copy (even ll == 0): bytes past ll
+            // are scratch above op and are overwritten by later writes;
+            // the lits buffer has slack. Avoids a data-dependent branch.
+            std::memcpy(out + op, lp, 16);
+        } else {
+            std::memcpy(out + op, lp, ll);
         }
+        lp += ll; lit_left -= ll; op += ll;
         // offsets must stay within the current frame's window: a corrupt
         // second frame in a concatenation must error, not copy bytes
         // from the previous frame's output
@@ -896,6 +786,325 @@ static size_t decode_block(const uint8_t* src, size_t n, DecState& st,
             for (size_t k = 0; k < ml; k++) out[op + k] = out[start + k];
             op += ml;
         }
+}
+
+// Hot sequence loop state. decode_seqs_hot is deliberately noinline:
+// inlined into decode_frame it shares one giant stack frame and the
+// register allocator spills the loop-carried state (measured ~50
+// cycles/seq from store-forwarding traffic); as a standalone function
+// everything lives in registers.
+struct HotCtx {
+    const uint8_t* bd;
+    std::ptrdiff_t bitpos;
+    uint32_t ll_state, of_state, ml_state;
+    uint64_t r0, r1, r2;
+    const uint8_t* lp;
+    size_t lit_left;
+    size_t op;
+    const uint64_t *llp, *mlp, *ofp;
+    uint8_t* out;
+    size_t cap;
+    size_t frame_base;
+    size_t nseq;
+    bool long_mode;
+};
+
+// Returns the number of sequences consumed (the careful tail in
+// decode_block finishes the rest).
+static __attribute__((noinline)) size_t decode_seqs_hot(HotCtx& c) {
+    const uint8_t* const bd = c.bd;
+    std::ptrdiff_t bitpos = c.bitpos;
+    uint32_t ll_state = c.ll_state, of_state = c.of_state,
+             ml_state = c.ml_state;
+    uint64_t r0 = c.r0, r1 = c.r1, r2 = c.r2;
+    const uint8_t* lp = c.lp;
+    size_t lit_left = c.lit_left;
+    size_t op = c.op;
+    const uint64_t* llp = c.llp;
+    const uint64_t* mlp = c.mlp;
+    const uint64_t* ofp = c.ofp;
+    uint8_t* out = c.out;
+    const size_t cap = c.cap, frame_base = c.frame_base, nseq = c.nseq;
+    const bool long_mode = c.long_mode;
+
+    constexpr size_t ADV = 8;
+    struct SeqD { uint64_t ll, ml, off; } ring[ADV];
+    uint64_t vop = op;  // output position at the decode-ahead head
+    size_t i = 0;
+    while (i + 1 < nseq && bitpos >= 114) {
+        uint64_t el = llp[ll_state];
+        uint64_t em = mlp[ml_state];
+        uint64_t eo = ofp[of_state];
+        unsigned ofb = (uint8_t)(eo >> 24);
+        unsigned mlb = (uint8_t)(em >> 24);
+        unsigned llb = (uint8_t)(el >> 24);
+        size_t B = (size_t)(bitpos - 57) >> 3;
+        uint64_t w = rd64le(bd + B) << (unsigned)(8 * B + 64 - bitpos);
+        uint64_t vof = w >> 1 >> (63 - ofb); w <<= ofb;
+        uint64_t vml = w >> 1 >> (63 - mlb); w <<= mlb;
+        uint64_t vll = w >> 1 >> (63 - llb);
+        bitpos -= ofb + mlb + llb;
+        unsigned nbl = (uint8_t)(el >> 16);
+        unsigned nbm = (uint8_t)(em >> 16);
+        unsigned nbo = (uint8_t)(eo >> 16);
+        B = (size_t)(bitpos - 57) >> 3;
+        uint64_t w2 = rd64le(bd + B) << (unsigned)(8 * B + 64 - bitpos);
+        ll_state = (uint32_t)(el & 0xFFFF)
+                   + (uint32_t)(w2 >> 1 >> (63 - nbl));
+        w2 <<= nbl;
+        ml_state = (uint32_t)(em & 0xFFFF)
+                   + (uint32_t)(w2 >> 1 >> (63 - nbm));
+        w2 <<= nbm;
+        of_state = (uint32_t)(eo & 0xFFFF)
+                   + (uint32_t)(w2 >> 1 >> (63 - nbo));
+        bitpos -= nbl + nbm + nbo;
+        uint64_t ll = (el >> 32) + vll;
+        uint64_t ml = (em >> 32) + vml;
+        uint64_t of_value = (eo >> 32) + vof;
+        // branchless repeat-offset resolution (cmov chain)
+        unsigned rep_idx = (unsigned)of_value + (ll == 0 ? 1u : 0u);
+        unsigned idx = of_value <= 3 ? rep_idx : 0u;
+        uint64_t off = of_value - 3;
+        off = (idx == 1) ? r0 : off;
+        off = (idx == 2) ? r1 : off;
+        off = (idx == 3) ? r2 : off;
+        off = (idx == 4) ? r0 - 1 : off;
+        if (__builtin_expect(off == 0, 0)) throw Err{};
+        bool rot2 = (idx == 0) | (idx >= 3);
+        bool rot1 = (idx != 1);
+        r2 = rot2 ? r1 : r2;
+        r1 = rot1 ? r0 : r1;
+        r0 = rot1 ? off : r0;
+        if (long_mode) {
+            if (off <= vop + ll - frame_base) {
+                const uint8_t* a = out + (vop + ll - off);
+                __builtin_prefetch(a);
+                __builtin_prefetch(a + 64);
+            }
+            vop += ll + ml;
+            if (i >= ADV) {
+                SeqD cseq = ring[i & (ADV - 1)];
+                exec_seq(out, op, cap, frame_base, lp, lit_left,
+                         cseq.ll, cseq.ml, cseq.off);
+            }
+            ring[i & (ADV - 1)] = SeqD{ll, ml, off};
+        } else {
+            exec_seq(out, op, cap, frame_base, lp, lit_left, ll, ml, off);
+        }
+        i++;
+    }
+    if (long_mode) {  // flush pending ring entries in order
+        size_t first = i >= ADV ? i - ADV : 0;
+        for (size_t j = first; j < i; j++) {
+            SeqD cseq = ring[j & (ADV - 1)];
+            exec_seq(out, op, cap, frame_base, lp, lit_left,
+                     cseq.ll, cseq.ml, cseq.off);
+        }
+    }
+    c.bitpos = bitpos;
+    c.ll_state = ll_state; c.of_state = of_state; c.ml_state = ml_state;
+    c.r0 = r0; c.r1 = r1; c.r2 = r2;
+    c.lp = lp; c.lit_left = lit_left; c.op = op;
+    return i;
+}
+
+// Decode a compressed block's sequences + execute into out[op..].
+// Returns new op.
+static size_t decode_block(const uint8_t* src, size_t n, DecState& st,
+                           uint8_t* out, size_t op, size_t cap,
+                           size_t frame_base, bool long_mode) {
+    size_t lit_size = 0;
+#ifdef TZ_PROF
+    unsigned long long tz_t0 = TZ_TICK();
+#endif
+    size_t used = decode_literals(src, n, st, &lit_size);
+#ifdef TZ_PROF
+    unsigned long long tz_t1 = TZ_TICK();
+    tz_prof_lit += tz_t1 - tz_t0;
+#endif
+    if (used > n) throw Err{};
+    const uint8_t* sp = src + used;
+    size_t sn = n - used;
+
+    // sequence count
+    if (sn == 0) throw Err{};
+    unsigned b0 = sp[0];
+    size_t pos = 1;
+    size_t nseq;
+    if (b0 < 128) {
+        nseq = b0;
+    } else if (b0 < 255) {
+        if (sn < 2) throw Err{};
+        nseq = ((size_t)(b0 - 128) << 8) + sp[1];
+        pos = 2;
+    } else {
+        if (sn < 3) throw Err{};
+        nseq = sp[1] + ((size_t)sp[2] << 8) + 0x7F00;
+        pos = 3;
+    }
+
+    if (nseq == 0) {
+        // all-literal block
+        if (op + lit_size > cap) throw Err{};
+        std::memcpy(out + op, st.lits.data(), lit_size);
+        return op + lit_size;
+    }
+
+    if (pos >= sn) throw Err{};
+    unsigned modes = sp[pos++];
+    if (modes & 3) throw Err{};
+    unsigned ll_mode = (modes >> 6) & 3;
+    unsigned of_mode = (modes >> 4) & 3;
+    unsigned ml_mode = (modes >> 2) & 3;
+
+    bool rb_ll, rb_of, rb_ml;
+    pos = read_seq_table(ll_mode, sp, sn, pos, LL_DEF_NORM, 36, 6,
+                         MAX_LL_CODE, MAX_LL_LOG, st.ll, st.tables_valid,
+                         &rb_ll);
+    pos = read_seq_table(of_mode, sp, sn, pos, OF_DEF_NORM, 29, 5,
+                         MAX_OF_CODE, MAX_OF_LOG, st.of, st.tables_valid,
+                         &rb_of);
+    pos = read_seq_table(ml_mode, sp, sn, pos, ML_DEF_NORM, 53, 6,
+                         MAX_ML_CODE, MAX_ML_LOG, st.ml, st.tables_valid,
+                         &rb_ml);
+    if (rb_ll || !st.tables_valid) pack_table(st.ll, st.llp, LL_BASE, LL_BITS);
+    if (rb_ml || !st.tables_valid) pack_table(st.ml, st.mlp, ML_BASE, ML_BITS);
+    if (rb_of || !st.tables_valid) st.max_ofb = pack_of_table(st.of, st.ofp);
+    st.tables_valid = true;
+#ifdef TZ_PROF
+    unsigned long long tz_t2 = TZ_TICK();
+    tz_prof_tab += tz_t2 - tz_t1;
+#endif
+    if (pos > sn) throw Err{};
+
+    BackBits br;
+    if (!br.init(sp + pos, sn - pos)) throw Err{};
+    uint32_t ll_state = br.read(st.ll.accuracy_log);
+    uint32_t of_state = br.read(st.of.accuracy_log);
+    uint32_t ml_state = br.read(st.ml.accuracy_log);
+
+    // decode + execute fused: literals copied from st.lits as we go
+    const uint8_t* lp = st.lits.data();
+    size_t lit_left = lit_size;
+    uint64_t r0 = st.rep[0], r1 = st.rep[1], r2 = st.rep[2];
+
+    const uint32_t* llt = st.ll.ent;
+    const uint32_t* oft = st.of.ent;
+    const uint32_t* mlt = st.ml.ent;
+
+    uint64_t s_ll, s_ml, s_off;  // decode_one outputs
+    auto decode_one = [&](size_t i) __attribute__((always_inline)) {
+        // one packed load per state: symbol | nb_bits<<8 | base<<16
+        uint32_t el = llt[ll_state];
+        uint32_t eo = oft[of_state];
+        uint32_t em = mlt[ml_state];
+        unsigned ll_code = el & 0xFF;
+        unsigned of_code = eo & 0xFF;
+        unsigned ml_code = em & 0xFF;
+        if (of_code > MAX_OF_CODE) throw Err{};
+        unsigned ofb = of_code;
+        unsigned mlb = ML_BITS[ml_code];
+        unsigned llb = LL_BITS[ll_code];
+
+        // Two independently-guarded 8-byte windows per sequence. The
+        // value fields total ofb+mlb+llb <= 31+16+16 = 63, but with
+        // window_log <= 25 (every practical stream) <= 57, so one
+        // window covers them; the state-reload fields total <= 26.
+        // Guarding each on bitpos alone (true until the stream tail)
+        // keeps both branches perfectly predicted, unlike a combined
+        // 6-field window whose <=57 test fails data-dependently.
+        uint32_t vof, vml, vll;
+        unsigned vtot = ofb + mlb + llb;
+        if (br.bitpos >= 64 && vtot <= 57) {
+            size_t B = (size_t)(br.bitpos - 57) >> 3;
+            uint64_t acc;
+            std::memcpy(&acc, br.data + B, 8);
+            // shift-chain extraction: each field peels off the top
+            uint64_t w = acc << (unsigned)(8 * B + 64 - br.bitpos);
+            vof = (uint32_t)(w >> 1 >> (63 - ofb)); w <<= ofb;
+            vml = (uint32_t)(w >> 1 >> (63 - mlb)); w <<= mlb;
+            vll = (uint32_t)(w >> 1 >> (63 - llb));
+            br.bitpos -= vtot;
+        } else {
+            br.read3(ofb, mlb, llb, &vof, &vml, &vll);
+        }
+        if (i + 1 < nseq) {
+            unsigned nbl = (el >> 8) & 0xFF;
+            unsigned nbm = (em >> 8) & 0xFF;
+            unsigned nbo = (eo >> 8) & 0xFF;
+            uint32_t bll, bml, bof;
+            if (br.bitpos >= 57) {
+                // B = (bitpos-57)>>3 guarantees B+8 <= len (57 = 64-8+1)
+                size_t B = (size_t)(br.bitpos - 57) >> 3;
+                uint64_t acc;
+                std::memcpy(&acc, br.data + B, 8);
+                uint64_t w = acc << (unsigned)(8 * B + 64 - br.bitpos);
+                bll = (uint32_t)(w >> 1 >> (63 - nbl)); w <<= nbl;
+                bml = (uint32_t)(w >> 1 >> (63 - nbm)); w <<= nbm;
+                bof = (uint32_t)(w >> 1 >> (63 - nbo));
+                br.bitpos -= nbl + nbm + nbo;
+            } else {
+                br.read3(nbl, nbm, nbo, &bll, &bml, &bof);
+            }
+            ll_state = (el >> 16) + bll;
+            ml_state = (em >> 16) + bml;
+            of_state = (eo >> 16) + bof;
+        }
+        uint64_t of_value = ((uint64_t)1 << of_code) + vof;
+        uint64_t ml = ML_BASE[ml_code] + vml;
+        uint64_t ll = LL_BASE[ll_code] + vll;
+
+        // resolve repeat offsets (sequences.py resolve_offsets),
+        // branchless: new-vs-repeat is data-dependent at high levels, so
+        // every select below must compile to cmov, not a jump.
+        // idx: 0 = new offset; 1..3 = rep0/rep1/rep2; 4 = rep0 - 1
+        unsigned rep_idx = (unsigned)of_value + (ll == 0 ? 1u : 0u);
+        unsigned idx = of_value <= 3 ? rep_idx : 0u;
+        uint64_t off = of_value - 3;
+        off = (idx == 1) ? r0 : off;
+        off = (idx == 2) ? r1 : off;
+        off = (idx == 3) ? r2 : off;
+        off = (idx == 4) ? r0 - 1 : off;
+        if (off == 0) throw Err{};
+        bool rot2 = (idx == 0) | (idx >= 3);
+        bool rot1 = (idx != 1);
+        r2 = rot2 ? r1 : r2;
+        r1 = rot1 ? r0 : r1;
+        r0 = rot1 ? off : r0;
+        s_ll = ll; s_ml = ml; s_off = off;
+    };
+
+    auto exec_one = [&](uint64_t ll, uint64_t ml, uint64_t off)
+                        __attribute__((always_inline)) {
+        exec_seq(out, op, cap, frame_base, lp, lit_left, ll, ml, off);
+    };
+
+    // Fast region: packed-entry loop in its own noinline function (see
+    // decode_seqs_hot). One combined guard (bitpos >= 114) makes both
+    // per-sequence 8-byte windows unconditionally safe: window 1 reads
+    // <= 57 value bits, leaving bitpos >= 57 for window 2 (<= 26 state
+    // bits). Valid only when the offset table's value bits keep
+    // ofb+16+16 <= 57 (window_log <= 25 streams, i.e. everything the
+    // reference CLI emits). In long mode, sequences are decoded ADV
+    // ahead and each match source prefetched, hiding far-reference
+    // cache misses (ZSTD_decompressSequencesLong_body's STORED_SEQS
+    // idea - zstd_decompress_block.c:1001 - realised over this split).
+    size_t i = 0;
+    if (st.max_ofb <= 25) {
+        HotCtx c{br.data, br.bitpos, ll_state, of_state, ml_state,
+                 r0, r1, r2, lp, lit_left, op,
+                 st.llp, st.mlp, st.ofp, out, cap, frame_base,
+                 nseq, long_mode};
+        i = decode_seqs_hot(c);
+        br.bitpos = c.bitpos;
+        ll_state = c.ll_state; of_state = c.of_state; ml_state = c.ml_state;
+        r0 = c.r0; r1 = c.r1; r2 = c.r2;
+        lp = c.lp; lit_left = c.lit_left; op = c.op;
+    }
+    // careful tail (stream end / exotic tables / final sequence)
+    for (; i < nseq; i++) {
+        decode_one(i);
+        exec_one(s_ll, s_ml, s_off);
     }
     if (br.overread()) throw Err{};
     // trailing literals
@@ -1008,6 +1217,10 @@ static size_t decode_frame(const uint8_t* src, size_t n,
     uint64_t block_cap = 128 * 1024;
     if (!single_segment && window_size && window_size < block_cap)
         block_cap = window_size;
+    // far references escape L2: switch to the decode-ahead + prefetch
+    // sequence loop when the window (or single-segment content) is big
+    uint64_t span = single_segment ? content_size : window_size;
+    bool long_mode = span > (1u << 20);
 
     for (;;) {
         if (pos + 3 > n) throw Err{};
@@ -1041,7 +1254,7 @@ static size_t decode_frame(const uint8_t* src, size_t n,
             if (pos + bsize > n) throw Err{};
             size_t op_before = op;
             op = decode_block(src + pos, bsize, st, out.p, op,
-                              out.cap, base_op);
+                              out.cap, base_op, long_mode);
             if (op - op_before > 128 * 1024) throw Err{};  // RFC block cap
             pos += bsize;
         }
