@@ -31,9 +31,10 @@ def test_rar5_header_crc_enforced():
         rar.read_rar(bytes(arc))
 
 
-def test_rar5_compressed_method_rejected():
-    """A RAR5 file header whose compression-info method bits are
-    nonzero must raise UnsupportedError (we only store)."""
+def test_rar5_compressed_member_garbage_raises():
+    """A RAR5 member marked compressed (method 1) whose packed bytes
+    are garbage must raise CorruptError from the LZ decoder (the
+    method itself is supported since models/rar5.py landed)."""
     data = b"y" * 64
     nb = b"a.txt"
     body = (rar._vint_enc(0x04) + rar._vint_enc(len(data))
@@ -45,7 +46,7 @@ def test_rar5_compressed_method_rejected():
     sized = rar._vint_enc(len(hdr)) + hdr
     arc = (rar.SIG5 + struct.pack("<I", zlib.crc32(sized)) + sized
            + data)
-    with pytest.raises(UnsupportedError):
+    with pytest.raises(CorruptError):
         rar.read_rar(arc)
 
 

@@ -313,6 +313,10 @@ def cmd_add(opts: Options, args):
     elif atype == "arj":
         from ..containers import misc
         out = misc.write_arj(files)
+    elif atype == "rar":
+        from ..containers import rar
+        out = rar.write_rar5(files, compress=(opts.method != "copy"
+                                              and opts.level != 0))
     else:
         if len(files) > 1:
             raise TpuzError(f"-t{atype}: single-stream format, got "

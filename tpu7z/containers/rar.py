@@ -1,11 +1,11 @@
-"""RAR 4.x and RAR 5.x archive readers.
+"""RAR 4.x and RAR 5.x archive readers (+ RAR5 writers).
 
 Behavioral reference: CPP/7zip/Archive/Rar/RarHandler.cpp (RAR 1.5-4.x
 block chain: u16 CRC / u8 type / u16 flags / u16 size) and
 Rar5Handler.cpp (RAR5 vint-coded block headers, CRC32-checked).
-Stored (method 0 / 0x30) members extract; compressed members raise
-UnsupportedError naming the missing coder — the reference decodes
-these with its licensed unRAR code, which has no free equivalent.
+RAR5 compressed members (methods 1-5, algo v0) decode through
+models/rar5.py (Rar5Decoder.cpp analog); RAR4 compressed members
+raise UnsupportedError (the v2.9 coder family is not implemented).
 """
 
 from __future__ import annotations
@@ -97,9 +97,15 @@ def _read_rar5(raw: bytes) -> dict:
             is_dir = bool(fflags & 0x01)
             if not is_dir:
                 if method != 0:
-                    raise UnsupportedError(
-                        f"rar5: compression method {method} for "
-                        f"'{name}' not supported (stored only)")
+                    if comp & 0x3F:  # algo version > 0 (rar7)
+                        raise UnsupportedError(
+                            "rar5: algo version > 0 not supported")
+                    if comp & 0x40:
+                        raise UnsupportedError(
+                            "rar5: solid members not supported")
+                    from ..models import rar5 as _rar5
+                    dict_bits = 17 + ((comp >> 10) & 0xF)
+                    body = _rar5.decode(body, usize, dict_bits)
                 flush()
                 pending = {"name": name, "crc": dcrc, "usize": usize}
                 parts = [body]
@@ -210,4 +216,45 @@ def write_rar5_store(files: dict) -> bytes:
                 + _vint_enc(len(nb)) + nb)
         block(2, body, data=data)
     block(5, _vint_enc(0))                   # end of archive
+    return bytes(out)
+
+
+def write_rar5(files: dict, compress: bool = True) -> bytes:
+    """RAR5 writer with LZ compression (superset; the reference is
+    read-only). Per member, picks the smaller of store and the
+    models/rar5.py method-3 encoder; unrar/7zz extract the result."""
+    if not compress:
+        return write_rar5_store(files)
+    from ..models import rar5 as _rar5
+
+    out = bytearray(SIG5)
+
+    def block(btype: int, body: bytes, data: bytes = b""):
+        flags = 0x02 if data else 0
+        hdr = _vint_enc(btype) + _vint_enc(flags)
+        if data:
+            hdr += _vint_enc(len(data))
+        hdr += body
+        sized = _vint_enc(len(hdr)) + hdr
+        out.extend(struct.pack("<I", zlib.crc32(sized)))
+        out.extend(sized)
+        out.extend(data)
+
+    block(1, _vint_enc(0))
+    for name, data in files.items():
+        nb = name.encode("utf-8")
+        comp = _rar5.encode(data)
+        dict_bits = max(17, (max(len(data), 1) - 1).bit_length())
+        method_v = _rar5.make_method_vint(3, dict_bits)
+        if len(comp) >= len(data):
+            comp, method_v = data, 0
+        body = (_vint_enc(0x04)
+                + _vint_enc(len(data))
+                + _vint_enc(0)
+                + struct.pack("<I", zlib.crc32(data))
+                + _vint_enc(method_v)
+                + _vint_enc(1)
+                + _vint_enc(len(nb)) + nb)
+        block(2, body, data=comp)
+    block(5, _vint_enc(0))
     return bytes(out)
