@@ -75,7 +75,7 @@ def stages_for(B):
         b=(B, P.NROWS + 1, P.ROW), so8=(B, P.NROWS, P.ROW),
         mm=(B, 2 * P.NROWS, P.ROW), st=(B, P.NROWS, P.ROW),
         gb=(B, LP._NB * P.NROWS, P.ROW), gc=(B, LP._NC * P.NROWS, P.ROW),
-        cl=(B, 2 * P.P8_ROWS, P.ROW), c=(B, P.CORE_ROWS, P.ROW),
+        cl=(B, 2 * P.P5_MID_ROWS, P.ROW), c=(B, P.CORE_ROWS, P.ROW),
         o=(B, P.OUT_ROWS + 1, P.ROW))
 
     def call(kern, ins, outs):

@@ -95,7 +95,7 @@ def main():
     stshape = (B, P.NROWS, P.ROW)
     gbshape = (B, LP._NB * P.NROWS, P.ROW)
     gcshape = (B, LP._NC * P.NROWS, P.ROW)
-    clshape = (B, 2 * P.P8_ROWS, P.ROW)
+    clshape = (B, 2 * P.P5_MID_ROWS, P.ROW)
     cshape = (B, P.CORE_ROWS, P.ROW)
     oshape = (B, P.OUT_ROWS + 1, P.ROW)
 

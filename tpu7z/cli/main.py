@@ -185,6 +185,9 @@ class Options:
         self.exclude = []   # -x! wildcards
         self.recurse = False
         self.volume = None  # -v{size}: split output into volumes
+        # -mdev: compress on the device mesh (TPU); also on when the
+        # TPU7Z_DEVICE env var is set
+        self.device = os.environ.get("TPU7Z_DEVICE", "") not in ("", "0")
 
 
 def _parse_switches(args):
@@ -203,6 +206,10 @@ def _parse_switches(args):
             opts.level = int(a[3:].lstrip("="))
         elif a.startswith("-mhe"):
             opts.encrypt_header = a[4:] in ("", "=on", "on")
+        elif a.startswith("-mdev"):
+            # device (TPU mesh) coder tier: the MtCoder analog runs as
+            # sharded kernels + ordered all-gather (parallel/sharded.py)
+            opts.device = a[5:].lstrip("=") not in ("off", "0", "-")
         elif a.startswith("-mmt"):
             opts.threads = parse_mt(a[4:].lstrip("=") or "on")
         elif a.startswith("-p"):
@@ -322,13 +329,20 @@ def cmd_add(opts: Options, args):
             raise TpuzError(f"-t{atype}: single-stream format, got "
                             f"{len(files)} inputs")
         data = next(iter(files.values()))
-        codec = get_codec(opts.method or atype)
-        kw = {}
-        if "wlog" in opts.props:
-            kw["window_log"] = int(opts.props["wlog"])
-        if opts.threads and codec.name == "zstd":
-            kw["threads"] = opts.threads
-        out = codec.compress(data, level=opts.level or 5, **kw)
+        if atype == "lz4" and (opts.device or opts.props.get("dev")):
+            # device coder tier: sharded plane pipeline + ordered
+            # all-gather assembles one .lz4 frame on the mesh
+            # (MtCoder analog, C/MtCoder.c:445; parallel/sharded.py)
+            from ..parallel.sharded import shard_compress_lz4_device
+            out = shard_compress_lz4_device(data)
+        else:
+            codec = get_codec(opts.method or atype)
+            kw = {}
+            if "wlog" in opts.props:
+                kw["window_log"] = int(opts.props["wlog"])
+            if opts.threads and codec.name == "zstd":
+                kw["threads"] = opts.threads
+            out = codec.compress(data, level=opts.level or 5, **kw)
     if opts.stdout:
         sys.stdout.buffer.write(out)
     elif opts.volume:

@@ -29,25 +29,47 @@ constexpr int kMinChainMatch = 4;   // hash-chain matches
 // ---------------------------------------------------------------- bitio ---
 // LSB-first forward writer; close() appends the 1-bit end marker and pads.
 // (Decoder reads the finished buffer backward: zstd entropy framing.)
+// LSB-first bit packer. The hot loops (per-literal Huffman, per-seq
+// FSE) commit 4 bytes at a time into a preallocated buffer; callers
+// that stream an unbounded number of bits call grow() periodically.
 struct BitWriter {
     std::vector<uint8_t> buf;
     uint64_t acc = 0;
-    int nbits = 0;
+    unsigned nbits = 0;
+    size_t pos = 0;  // committed bytes; valid output is buf[0..pos)
+
+    // make room for at least n more output bytes (plus slack)
+    void grow(size_t n) {
+        if (buf.size() < pos + n + 16) buf.resize(pos + n + 16);
+    }
     inline void put(uint64_t v, int n) {
         acc |= (v & ((n == 64) ? ~0ULL : ((1ULL << n) - 1))) << nbits;
-        nbits += n;
-        while (nbits >= 8) {
-            buf.push_back(uint8_t(acc));
-            acc >>= 8;
-            nbits -= 8;
+        nbits += unsigned(n);
+        if (nbits >= 32) {
+            std::memcpy(buf.data() + pos, &acc, 4);
+            pos += 4;
+            acc >>= 32;
+            nbits -= 32;
         }
     }
     void close_marker() {
         put(1, 1);
-        if (nbits) { buf.push_back(uint8_t(acc)); acc = 0; nbits = 0; }
+        while (nbits) {
+            buf[pos++] = uint8_t(acc);
+            acc >>= 8;
+            nbits = nbits >= 8 ? nbits - 8 : 0;
+        }
+        acc = 0;
+        buf.resize(pos);
     }
     void close_pad() {  // pad to byte without marker (ncount framing)
-        if (nbits) { buf.push_back(uint8_t(acc)); acc = 0; nbits = 0; }
+        while (nbits) {
+            buf[pos++] = uint8_t(acc);
+            acc >>= 8;
+            nbits = nbits >= 8 ? nbits - 8 : 0;
+        }
+        acc = 0;
+        buf.resize(pos);
     }
 };
 
@@ -193,6 +215,7 @@ static bool normalize_counts(const uint32_t* hist, int nsym, int log,
 // ncount serialization (fse.py write_ncount)
 static void write_ncount(const int32_t* counts, int n, int log,
                          BitWriter& w) {
+    w.grow(4 + size_t(n) * 3);
     w.put(log - 5, 4);
     int size = 1 << log;
     int remaining = size + 1;
@@ -490,6 +513,7 @@ static bool huf_write_tree(const int* weights, int nsym_total,
     // transition per decoded symbol k (k = 0..n-3). Encoder writes
     // trans(n-3)..trans(0), then init2, then init1.
     int n = nwrite;
+    sw.grow(8 + size_t(n));
     FseEnc e1, e2;
     // state1 owns even positions; its symbols last-first
     int last_even = (n - 1) & ~1;
@@ -520,6 +544,7 @@ static void huf_stream(const uint8_t* lits, size_t n,
                        const uint32_t* code_val, const int* code_bits,
                        std::vector<uint8_t>& out) {
     BitWriter w;
+    w.grow(2 * n + 16);
     for (size_t i = n; i-- > 0;) {
         int s = lits[i];
         w.put(code_val[s], code_bits[s]);
@@ -666,6 +691,7 @@ static void encode_sequences(const std::vector<Seq>& seqs,
     out.insert(out.end(), tml.header.begin(), tml.header.end());
 
     BitWriter w;
+    w.grow(16 * size_t(nseq) + 64);
     FseEnc ell, eof_, eml;
     bool fll = tll.mode != RLE, fof = tof.mode != RLE, fml = tml.mode != RLE;
     int last = nseq - 1;

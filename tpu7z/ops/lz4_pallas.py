@@ -96,7 +96,9 @@ def _unpack(g, names):
     return out
 
 
-_SPLIT_LEVEL = 9  # pyramid levels per kernel (>12 in one crash Mosaic)
+# pyramid split: stage 1 (build + steps 0-3 + the two narrowing passes)
+# and stage 2 (steps 4-15 on the 4x-narrowed plane) — one kernel with
+# everything exceeds the remote Mosaic compiler's limits
 
 
 def _kernel_b1(block_ref, geob_ref, cl_ref):
@@ -107,16 +109,15 @@ def _kernel_b1(block_ref, geob_ref, cl_ref):
         geo[k] = geo[k] > 0
     moff = g[len(_GEOB) * P.NROWS:(len(_GEOB) + 1) * P.NROWS]
     content, lens = P.phase5_build(block, moff, geo)
-    content, lens = P.phase5_merge(content, lens, 0, _SPLIT_LEVEL)
+    content, lens = P.phase5_stage1(content, lens)
     cl_ref[0] = jnp.concatenate([content, lens], axis=0)
 
 
 def _kernel_b2(cl_ref, core_ref):
     cl = cl_ref[0]
-    content = cl[: P.P8_ROWS]
-    lens = cl[P.P8_ROWS:]
-    content, lens = P.phase5_merge(content, lens, _SPLIT_LEVEL, P.N_LEVELS)
-    core_ref[0] = content[: P.CORE_ROWS]
+    content = cl[: P.P5_MID_ROWS]
+    lens = cl[P.P5_MID_ROWS:]
+    core_ref[0] = P.phase5_stage2(content, lens)
 
 
 def _kernel_c(geoc_ref, core_ref, out_ref):
@@ -208,7 +209,7 @@ def encode_blocks(blocks, ns, W: int = P.W_DEFAULT, interpret: bool = False):
         compiler_params=_COMPILER,
     )(blocks3, mm, st)
 
-    clshape = (B, 2 * P.P8_ROWS, P.ROW)
+    clshape = (B, 2 * P.P5_MID_ROWS, P.ROW)
     cl = pl.pallas_call(
         _kernel_b1,
         grid=(B,),

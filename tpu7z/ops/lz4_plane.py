@@ -478,54 +478,106 @@ def phase5_build(block, moff, geo):
 
 
 def phase5_core(block, moff, geo):
-    """Packed hierarchical compaction: level-0 build + all merge levels.
-    Each merge level shifts every right sibling left by
-    (field_width - left_len) with pair-boundary masked flat shifts; the
-    plane shape never changes (narrow 2D shapes crash the target's
-    Mosaic lowering). After N_LEVELS merges the core bytes sit at flat
-    [0, core_used). Returns (CORE_ROWS, ROW) int32, one byte/element."""
+    """Packed hierarchical compaction: level-0 build + all merge steps.
+    Each merge step shifts every right sibling left by
+    (field_width - left_len) with pair-boundary masked flat shifts.
+    As groups grow, their content bound (1.25 * positions + 12) falls
+    ever further below the packed width, so the plane is NARROWED
+    (8 -> 4 -> 2 lanes/position) between steps: the high steps — the
+    bulk of the barrel-shift work — run on a plane 1/4 the size.
+    Returns (CORE_ROWS, ROW) int32, one byte/element at flat [0, used).
+    """
     content, lens = phase5_build(block, moff, geo)
-    content, lens = phase5_merge(content, lens, 0, N_LEVELS)
-    return content[:CORE_ROWS]
+    content, lens = phase5_stage1(content, lens)
+    return phase5_stage2(content, lens)
 
 
-N_LEVELS = 16                     # merges: 2**16 groups of 8 -> 1
+N_STEPS = 16                      # merges: 2**16 positions of 8 -> 1
+P5_MID_ROWS = P8_ROWS // 4        # 1024: plane rows after stage 1
 
 
-def phase5_merge(content, lens, k_from, k_to):
-    """Merge levels [k_from, k_to) of the packed pyramid. Splitting the
-    range across pallas_calls keeps each kernel inside the remote Mosaic
-    compiler's limits (>12 levels in one kernel crash it)."""
-    flat = (jax.lax.broadcasted_iota(jnp.int32, (P8_ROWS, ROW), 0) * ROW
-            + jax.lax.broadcasted_iota(jnp.int32, (P8_ROWS, ROW), 1))
-    for k in range(k_from, k_to):
-        g = SEG0 << k             # group width before this merge
-        if g >= BLOCK * SEG0:
-            break
-        pw = 2 * g                # pair width
-        lp = flat % pw            # lane-in-pair
-        in_left = lp < g
-        llen = jnp.where(in_left, lens, shiftr_flat(lens, g))
-        rlen = jnp.where(in_left, shiftl_flat(lens, g), lens)
-        right_only = jnp.where(in_left, 0, content)
-        left_only = jnp.where(in_left, content, 0)
-        # right sibling moves left by (g - llen): one static shift by g,
-        # then a barrel shift RIGHT by llen. llen needs only
-        # ceil(log2(1.25*2**k + 12)) bits (content of 2**k positions is
-        # <= 1.25*2**k + 12: each match covers >= 4 positions per <= 5
-        # injected bytes, <= 2 partials at group ends) — far fewer ops
-        # than a barrel over g - llen.
-        max_llen = min(g, (5 << k) // 4 + 12)
-        acc = shiftl_flat(right_only, g)      # content now at pair start
-        bit = 1
-        while bit <= max_llen:
-            sh = shiftr_flat(acc, bit)
-            sh = jnp.where(lp >= bit, sh, 0)  # keep within the pair
-            acc = jnp.where((llen & bit) > 0, sh, acc)
-            bit *= 2
-        content = left_only + acc
-        lens = llen + rlen
+def _merge_step(content, lens, g, max_llen):
+    """One pairwise merge of adjacent groups of g lanes each.
+    The right sibling moves left by (g - llen): one static shift by g,
+    then a barrel shift RIGHT by llen (llen <= max_llen needs only
+    log2(max_llen) steps — content of 2**k positions is
+    <= 1.25*2**k + 12: each match covers >= 4 positions per <= 5
+    injected bytes, <= 2 partials at group ends)."""
+    R, C = content.shape
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) * C
+            + jax.lax.broadcasted_iota(jnp.int32, (R, C), 1))
+    pw = 2 * g
+    lp = flat % pw                # lane-in-pair
+    in_left = lp < g
+    llen = jnp.where(in_left, lens, shiftr_flat(lens, g))
+    rlen = jnp.where(in_left, shiftl_flat(lens, g), lens)
+    right_only = jnp.where(in_left, 0, content)
+    left_only = jnp.where(in_left, content, 0)
+    acc = shiftl_flat(right_only, g)      # content now at pair start
+    bit = 1
+    while bit <= max_llen:
+        sh = shiftr_flat(acc, bit)
+        sh = jnp.where(lp >= bit, sh, 0)  # keep within the pair
+        acc = jnp.where((llen & bit) > 0, sh, acc)
+        bit *= 2
+    return left_only + acc, llen + rlen
+
+
+def narrow_half(x):
+    """Halve the packing width: keep the first 32 lanes of every
+    64-lane field, (R, 128) -> (R/2, 128). Constructs: one wide
+    reshape (row pairs side by side), masked static lane shifts, and
+    a full-width prefix slice — all in the Mosaic-safe set
+    (docs/PERFORMANCE.md probe list)."""
+    R, C = x.shape
+    y = x.reshape(R // 2, 2 * C)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R // 2, 2 * C), 1)
+    acc = jnp.where(lane < 32, y, 0)
+    for j in range(1, 4):
+        part = _shift_left_lanes(y, 32 * j)
+        acc = jnp.where((lane >= 32 * j) & (lane < 32 * (j + 1)),
+                        part, acc)
+    return acc[:, :C]
+
+
+def _g_at(k):
+    """Lanes per group of 2**k positions under the narrowing schedule:
+    8 lanes/pos for steps 0-2, 4 for step 3, 2 from step 4 on."""
+    if k < 3:
+        return 8 << k
+    if k == 3:
+        return 4 << k
+    return 2 << k
+
+
+def phase5_stage1(content, lens):
+    """Merge steps 0-3 with two narrows: (P8_ROWS, ROW) 8 lanes/pos ->
+    (P5_MID_ROWS, ROW) 2 lanes/pos, groups of 16 positions. Content of
+    2**k positions is <= 1.25*2**k + 12, so 4 lanes/pos suffices from
+    k=3 (22 <= 32) and 2 lanes/pos from k=4 (32 <= 32... bound 27+12
+    hmm: 1.25*16+12 = 32 <= 32 exactly)."""
+    for k in range(3):
+        g = _g_at(k)
+        content, lens = _merge_step(content, lens, g,
+                                    min(g, (5 << k) // 4 + 12))
+    content = narrow_half(content)
+    lens = narrow_half(lens)
+    g = _g_at(3)
+    content, lens = _merge_step(content, lens, g,
+                                min(g, (5 << 3) // 4 + 12))
+    content = narrow_half(content)
+    lens = narrow_half(lens)
     return content, lens
+
+
+def phase5_stage2(content, lens):
+    """Merge steps 4-15 on the narrowed (P5_MID_ROWS, ROW) plane; the
+    core bytes end at flat [0, core_used) — prefix rows are the core."""
+    for k in range(4, N_STEPS):
+        g = _g_at(k)
+        content, lens = _merge_step(content, lens, g,
+                                    min(g, (5 << k) // 4 + 12))
+    return content[:CORE_ROWS]
 
 
 # ---------------------------------------------------------------------------
