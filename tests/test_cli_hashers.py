@@ -123,3 +123,34 @@ def test_cli_include_exclude(tmp_path):
                     "-i!a*", f"-o{out}"],
                    check=True, capture_output=True, env=env)
     assert (out / "a.txt").exists() and not (out / "c.txt").exists()
+
+
+def test_cli_update_verb(tmp_path):
+    """`u` merges new/changed members into an existing archive via
+    temp+rename (Update.cpp:1123 analog)."""
+    import os
+    arc = tmp_path / "a.7z"
+    (tmp_path / "f1.txt").write_bytes(b"one")
+    (tmp_path / "f2.txt").write_bytes(b"two")
+    assert cli_main(["a", str(arc), str(tmp_path / "f1.txt"),
+                     str(tmp_path / "f2.txt")]) == 0
+    (tmp_path / "f1.txt").write_bytes(b"one-CHANGED")
+    (tmp_path / "f3.txt").write_bytes(b"three")
+    assert cli_main(["u", str(arc), str(tmp_path / "f1.txt"),
+                     str(tmp_path / "f3.txt")]) == 0
+    assert not os.path.exists(str(arc) + ".tmp")
+    out = tmp_path / "out"
+    assert cli_main(["x", "-o" + str(out), str(arc)]) == 0
+    assert (out / "f1.txt").read_bytes() == b"one-CHANGED"
+    assert (out / "f2.txt").read_bytes() == b"two"
+    assert (out / "f3.txt").read_bytes() == b"three"
+
+
+def test_percent_printer(capsys):
+    from tpu7z.cli.main import PercentPrinter
+    p = PercentPrinter(1000, enabled=True)
+    p.add(500, "file-a")
+    p.add(500, "file-b")
+    p.finish()
+    err = capsys.readouterr().err
+    assert "50%" in err and "100%" in err

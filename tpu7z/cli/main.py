@@ -3,11 +3,12 @@
 Behavioral reference: CPP/7zip/UI/Console (MainAr.cpp:30 -> Main2) and
 the switch table of UI/Common/ArchiveCommandLine.cpp:278-360. Verbs:
 
-  a  add/create     x/e extract     t  test     l  list
-  h  hash           b  benchmark    i  info
+  a  add/create     u  update       x/e extract     t  test
+  l  list           h  hash         b  benchmark    i  info
 
 Switches: -t{type} -m0={method} -mx{level} -p{password} -mhe[=on] -o{dir}
-          -si -so -mmt{n} -y -i!{wildcard} -x!{wildcard} -r -slt -scrc
+          -si -so -mmt{n} -mdev -y -i!{wildcard} -x!{wildcard} -r -slt
+          -scrc -v{size} -bb (progress on) -bd (progress off)
 Usage:  python -m tpu7z.cli a archive.7z file1 file2 ...
 """
 
@@ -188,6 +189,7 @@ class Options:
         # -mdev: compress on the device mesh (TPU); also on when the
         # TPU7Z_DEVICE env var is set
         self.device = os.environ.get("TPU7Z_DEVICE", "") not in ("", "0")
+        self.progress = None  # -bb forces on, -bd forces off, None=tty
 
 
 def _parse_switches(args):
@@ -230,6 +232,10 @@ def _parse_switches(args):
             opts.recurse = True
         elif a == "-slt":
             opts.slt = True
+        elif a.startswith("-bb"):
+            opts.progress = True
+        elif a == "-bd":
+            opts.progress = False
         elif a.startswith("-v") and len(a) > 2 and a[2].isdigit():
             from ..utils.methodprops import parse_size
             opts.volume = parse_size(a[2:])
@@ -256,9 +262,37 @@ def _name_selected(opts: Options, name: str) -> bool:
     return True
 
 
-def cmd_add(opts: Options, args):
+class PercentPrinter:
+    """Live percent display during long operations (the reference's
+    UI/Console/PercentPrinter.cpp, driven here by the CMtProgress-analog
+    accumulator). Writes to stderr; active on a tty or with -bb, off
+    with -bd."""
+
+    def __init__(self, total: int, enabled: bool | None = None):
+        self.total = max(total, 1)
+        self.done = 0
+        self.enabled = (sys.stderr.isatty() if enabled is None
+                        else enabled)
+        self._last = -1
+
+    def add(self, nbytes: int, name: str = "") -> None:
+        self.done += nbytes
+        pct = min(100 * self.done // self.total, 100)
+        if self.enabled and pct != self._last:
+            self._last = pct
+            sys.stderr.write(f"\r{pct:3d}% {name[:60]:<60}")
+            sys.stderr.flush()
+
+    def finish(self) -> None:
+        if self.enabled and self._last >= 0:
+            sys.stderr.write("\r" + " " * 66 + "\r")
+            sys.stderr.flush()
+
+
+def cmd_add(opts: Options, args, update: bool = False):
+    verb = "u" if update else "a"
     if not args:
-        raise TpuzError("a: missing archive name")
+        raise TpuzError(f"{verb}: missing archive name")
     archive = args[0]
     inputs = args[1:]
     atype = opts.type or _sniff_type(archive)
@@ -276,8 +310,16 @@ def cmd_add(opts: Options, args):
             else:
                 files[os.path.basename(path)] = open(path, "rb").read()
     files = {k: v for k, v in files.items() if _name_selected(opts, k)}
+    if update and os.path.exists(archive) and not opts.stdout:
+        # update verb: overlay new/changed members onto the existing
+        # archive's contents (UI/Common/Update.cpp:1123 semantics,
+        # whole-archive rewrite through the same writer)
+        _t, existing, _rd = _open_archive(opts, archive)
+        merged = dict(existing)
+        merged.update(files)
+        files = merged
     if not files:
-        raise TpuzError("a: no input files")
+        raise TpuzError(f"{verb}: no input files")
 
     if atype == "7z":
         from ..containers.sevenzip import write_archive
@@ -357,8 +399,13 @@ def cmd_add(opts: Options, args):
         print(f"created {archive}.001..{archive}.{nvol:03d} "
               f"({len(out)} bytes in {nvol} volumes)")
     else:
-        with open(archive, "wb") as f:
+        # temp-file + rename: a failed/interrupted write never clobbers
+        # an existing archive (the reference's COutArchive temp-file
+        # discipline in UI/Common/Update.cpp)
+        tmp = archive + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(out)
+        os.replace(tmp, archive)
         print(f"created {archive} ({len(out)} bytes)")
     return 0
 
@@ -506,11 +553,15 @@ def cmd_extract(opts: Options, args, test_only=False):
         return 0
     os.makedirs(opts.outdir, exist_ok=True)
     meta = _file_metadata(atype, _rd)
+    prog = PercentPrinter(sum(len(v) for v in files.values()),
+                          enabled=opts.progress)
     for name, content in files.items():
+        prog.add(0, name)
         dst = os.path.join(opts.outdir, name.replace("\\", "/"))
         os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
         with open(dst, "wb") as f:
             f.write(content)
+        prog.add(len(content), name)
         m = meta.get(name)
         if m:
             mtime, mode = m
@@ -525,6 +576,7 @@ def cmd_extract(opts: Options, args, test_only=False):
                 except OSError:
                     pass
         print(f"extracted {name} ({len(content)} bytes)")
+    prog.finish()
     return 0
 
 
@@ -642,6 +694,8 @@ def main(argv=None) -> int:
     try:
         if cmd == "a":
             return cmd_add(opts, rest)
+        if cmd == "u":
+            return cmd_add(opts, rest, update=True)
         if cmd in ("x", "e"):
             return cmd_extract(opts, rest)
         if cmd == "t":
