@@ -53,7 +53,7 @@ TPU_MB = 32          # full corpus on the TPU tier
 CPU_MB = 2           # XLA-CPU fallback runs the same math ~100x slower
 TPU_TIMEOUT = 1800   # cold Mosaic compile of the 6-stage chain is ~6 min
 CPU_TIMEOUT = 900
-W = int(os.environ.get("TPU7Z_BENCH_W", "64"))
+W = int(os.environ.get("TPU7Z_BENCH_W", "0"))  # 0: tier-B4 subsumes tier-A
 
 
 def get_corpus() -> bytes:

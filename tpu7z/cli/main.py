@@ -658,23 +658,71 @@ def cmd_info(opts: Options, args):
 
 
 def cmd_bench(opts: Options, args):
+    """`b` — benchmark subsystem (UI/Common/Bench.cpp analog).
+
+    Default: every registered codec at its low/mid/high levels plus
+    every hasher, round-trip CRC-validated, with a relative rating
+    (throughput x log2(ratio), the Bench.cpp usage/rating idea recast
+    for a matrix display). `b {codec}` or `b {hasher}` restricts;
+    -md{size} sets the buffer (default 4 MiB; -mx picks one level)."""
     from ..utils.corpus import make_corpus
-    size = 4 << 20
+    from ..ops.hashers import HASHERS
+    size = int(opts.props.get("d", 4 << 20)) if opts.props else 4 << 20
     data = make_corpus(size)
-    print(f"{'method':8s} {'enc MB/s':>9} {'dec MB/s':>9} {'ratio':>6}")
-    for name in ("lz4", "zstd", "bzip2", "deflate", "lzma2", "brotli",
-                 "lz5", "lizard"):
-        codec = get_codec(name)
-        t0 = time.time()
-        c = codec.compress(data, level=3)
-        te = time.time() - t0
-        t0 = time.time()
-        out = codec.decompress(c, out_size=size) if name == "lzma2" \
-            else codec.decompress(c)
-        td = time.time() - t0
-        assert out == data, f"{name} round-trip failed"
-        print(f"{name:8s} {size/te/1e6:>9.1f} {size/td/1e6:>9.1f} "
-              f"{size/len(c):>6.2f}")
+    only = args[0].lower() if args else None
+
+    def levels_for(info):
+        lo, hi = info.levels
+        if opts.level:
+            return [max(lo, min(opts.level, hi))]
+        mid = (lo + hi) // 2
+        return sorted({lo, mid, hi})
+
+    # ---- codec matrix -------------------------------------------------
+    names = [n for n in CODECS
+             if n not in ("copy",) and (only is None or n == only)]
+    if names:
+        print(f"{'method':12s} {'lvl':>3} {'enc MB/s':>9} {'dec MB/s':>9} "
+              f"{'ratio':>6} {'rating':>7}")
+    import zlib as _z
+    for name in sorted(names):
+        codec = CODECS[name]
+        for lvl in levels_for(codec):
+            try:
+                t0 = time.time()
+                c = codec.compress(data, level=lvl)
+                te = max(time.time() - t0, 1e-9)
+                t0 = time.time()
+                try:
+                    out = codec.decompress(c)
+                except TypeError:
+                    out = codec.decompress(c, out_size=size)
+                td = max(time.time() - t0, 1e-9)
+            except (TpuzError, TypeError, ValueError) as e:
+                print(f"{name:12s} {lvl:>3} skip: {e}")
+                continue
+            if out != data or _z.crc32(out) != _z.crc32(data):
+                print(f"{name:12s} {lvl:>3} ROUND-TRIP FAILED")
+                continue
+            import math
+            ratio = size / len(c)
+            rating = size / te / 1e6 * max(math.log2(ratio), 0.1)
+            print(f"{name:12s} {lvl:>3} {size/te/1e6:>9.1f} "
+                  f"{size/td/1e6:>9.1f} {ratio:>6.2f} {rating:>7.0f}")
+
+    # ---- hasher matrix ------------------------------------------------
+    hnames = [h for h in sorted(HASHERS)
+              if only is None or h.lower() == only]
+    if only is not None and not names and not hnames:
+        raise TpuzError(f"b: unknown codec/hasher {only!r}")
+    if hnames and (only is None or not names):
+        print(f"\n{'hasher':12s} {'MB/s':>9}")
+        for h in hnames:
+            fn = HASHERS[h]
+            t0 = time.time()
+            fn(data)
+            dt = max(time.time() - t0, 1e-9)
+            print(f"{h:12s} {size/dt/1e6:>9.1f}")
     return 0
 
 

@@ -107,8 +107,26 @@ def _copy(data, **kw):
 CODECS: dict[str, CodecInfo] = {}
 
 
+def _traced(name: str, op: str, fn: Callable) -> Callable:
+    """Wrap a codec entry point in a trace span (ZSTD_trace analog,
+    C/zstd/zstd_trace.h:12-44) — one central hook covers every codec
+    instead of per-file instrumentation. Near-zero cost when no trace
+    callback is attached."""
+    def wrapped(data, *a, **kw):
+        from ..utils import trace as _trace
+        if not _trace.enabled():
+            return fn(data, *a, **kw)
+        with _trace.span(f"{name}.{op}", size=len(data),
+                         level=kw.get("level")):
+            return fn(data, *a, **kw)
+    wrapped.__name__ = f"{name}_{op}"
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 def _register(name, mid, c, d, levels=(1, 9)):
-    CODECS[name] = CodecInfo(name, mid, c, d, levels)
+    CODECS[name] = CodecInfo(name, mid, _traced(name, "compress", c),
+                             _traced(name, "decompress", d), levels)
 
 
 _register("copy", 0x00, _copy, _copy, (0, 0))

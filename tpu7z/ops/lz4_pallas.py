@@ -55,13 +55,17 @@ def _meta_n(block_ref):
     return meta[0] | (meta[1] << 8) | (meta[2] << 16)
 
 
-def _kernel_a1(block_ref, so8_ref, mm_ref, *, W):
+def _kernel_a1(block_ref, so_ref, mm_ref, *, W):
     n = _meta_n(block_ref)
     block = block_ref[0, : P.NROWS, :].astype(jnp.int32) & 0xFF
     v = P.phase0_words(block)
-    so = P.phase1_nearest_offset(v, n, W)
-    so8 = so8_ref[0]
-    mlen, moff = P.phase2_lengths(so, n, so8)
+    so = (P.phase1_nearest_offset(v, n, W) if W
+          else jnp.zeros_like(v))
+    so8 = so_ref[0, : P.NROWS]
+    so4a = so_ref[0, P.NROWS:2 * P.NROWS]
+    so4b = so_ref[0, 2 * P.NROWS:]
+    mlen, moff = P.phase2_lengths(so, n, so8,
+                                  extra_planes=((so4a, 4), (so4b, 4)))
     mm_ref[0] = jnp.concatenate([mlen, moff], axis=0)
 
 
@@ -148,7 +152,7 @@ def _vspec(shape, dtype=jnp.int32):
 
 
 @functools.partial(jax.jit, static_argnames=("W", "interpret"))
-def encode_blocks(blocks, ns, W: int = P.W_DEFAULT, interpret: bool = False):
+def encode_blocks(blocks, ns, W: int = 0, interpret: bool = False):
     """blocks: (B, BLOCK) uint8/int8; ns: (B,) int32 valid lengths.
 
     Returns (out (B, OUT_CAP) int8, used (B,) int32). Block b's LZ4
@@ -171,19 +175,22 @@ def encode_blocks(blocks, ns, W: int = P.W_DEFAULT, interpret: bool = False):
             [bu[:, k:], jnp.zeros((B, k), jnp.int32)], axis=1)
         w = w | (sh << (8 * k))
     so8 = P.tier_b_candidates(w, ns).reshape(B, P.NROWS, P.ROW)
+    so4a, so4b = P.tier_b4_candidates(w, ns)
+    so = jnp.concatenate([so8, so4a.reshape(B, P.NROWS, P.ROW),
+                          so4b.reshape(B, P.NROWS, P.ROW)], axis=1)
 
     bshape = (B, P.NROWS + 1, P.ROW)
-    so8shape = (B, P.NROWS, P.ROW)
+    soshape = (B, 3 * P.NROWS, P.ROW)
     mmshape = (B, 2 * P.NROWS, P.ROW)
     mm = pl.pallas_call(
         functools.partial(_kernel_a1, W=W),
         grid=(B,),
-        in_specs=[_vspec(bshape), _vspec(so8shape)],
+        in_specs=[_vspec(bshape), _vspec(soshape)],
         out_specs=_vspec(mmshape),
         out_shape=jax.ShapeDtypeStruct(mmshape, jnp.int32),
         interpret=interpret,
         compiler_params=_COMPILER,
-    )(blocks3, so8)
+    )(blocks3, so)
 
     stshape = (B, P.NROWS, P.ROW)
     st = pl.pallas_call(

@@ -24,7 +24,7 @@ MIN_MATCH_B = 8      # tier-B verified bytes per sorted-neighbor candidate
 ROW = 128
 NROWS = 512
 BLOCK = ROW * NROWS
-W_DEFAULT = 64       # tier-A exhaustive window
+W_DEFAULT = 0        # tier-A window; 0 = rely on tier-B4 (subsumes it)
 TAIL_GUARD = 12
 END_LITERALS = 5
 LONG_LIT = 270
@@ -215,6 +215,39 @@ def tier_b_candidates(words, ns):
     return jnp.where(col < guard[:, None], so8, 0)
 
 
+def tier_b4_candidates(words, ns):
+    """Tier-B4: nearest + second-nearest same-4-byte candidates over
+    the full 64K window, from ONE lax.sort keyed on the 4-byte hash.
+    Subsumes the exhaustive tier-A window at any W (verified: identical
+    ratio with tier-A stacked on top). Returns (so4a, so4b), each
+    (B, BLOCK) int32; 0 = none. Exact-verified, so collisions can only
+    miss matches."""
+    B = words.shape[0]
+    w0 = words.astype(jnp.uint32)
+    h16 = (w0 * jnp.uint32(HASH_C1)) >> jnp.uint32(16)
+    pos = jax.lax.broadcasted_iota(jnp.uint32, (B, BLOCK), 1)
+    key = (h16 << jnp.uint32(16)) | pos
+    skey, sw0 = jax.lax.sort((key, w0), dimension=1, num_keys=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, BLOCK), 1)
+    outs = []
+    for k in (1, 2):
+        zk = jnp.zeros((B, k), jnp.uint32)
+        pk = jnp.concatenate([zk, skey[:, :-k]], axis=1)
+        p0 = jnp.concatenate([zk, sw0[:, :-k]], axis=1)
+        verify = (((pk >> jnp.uint32(16)) == (skey >> jnp.uint32(16)))
+                  & (p0 == sw0) & (col >= k))
+        off = ((skey & jnp.uint32(0xFFFF)).astype(jnp.int32)
+               - (pk & jnp.uint32(0xFFFF)).astype(jnp.int32))
+        outs.append(jnp.where(verify, off, 0))
+    key2 = (((skey & jnp.uint32(0xFFFF)) << jnp.uint32(16))
+            | outs[0].astype(jnp.uint32))
+    key2s, so4b = jax.lax.sort((key2, outs[1]), dimension=1, num_keys=1)
+    so4a = (key2s & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    guard = jnp.maximum(ns.astype(jnp.int32) - TAIL_GUARD, 0)
+    keep = col < guard[:, None]
+    return jnp.where(keep, so4a, 0), jnp.where(keep, so4b, 0)
+
+
 def suffix_run_flat(flag, cap):
     """run[i] = consecutive nonzero count at i.. (capped), log-doubling."""
     run = _i32(flag)
@@ -235,15 +268,20 @@ def _tier_runs(so, kmin):
     return jnp.where(sov, srun + kmin, 0)
 
 
-def phase2_lengths(so, n, so8=None):
+def phase2_lengths(so, n, so8=None, extra_planes=()):
+    """Candidate tiers combined by longer verified run (earlier planes
+    win ties); extra_planes: iterable of (so_plane, verified_kmin)."""
     pos = _pos_plane()
     mlen = _tier_runs(so, MIN_MATCH)
     moff = so
+    planes = list(extra_planes)
     if so8 is not None:
-        mlen8 = _tier_runs(so8, MIN_MATCH_B)
-        use8 = mlen8 > mlen
-        mlen = jnp.where(use8, mlen8, mlen)
-        moff = jnp.where(use8, so8, moff)
+        planes.append((so8, MIN_MATCH_B))
+    for sp, kmin in planes:
+        ml = _tier_runs(sp, kmin)
+        use = ml > mlen
+        mlen = jnp.where(use, ml, mlen)
+        moff = jnp.where(use, sp, moff)
 
     limit = jnp.maximum(n - END_LITERALS - pos, 0)
     mlen = jnp.minimum(mlen, limit)
@@ -708,17 +746,21 @@ def encode_block_planes(block, n, W=W_DEFAULT, tier_b=True):
     """Full pipeline on (NROWS, ROW) int32 byte plane.
 
     Returns (out plane (OUT_ROWS, ROW) int32 bytes, used scalar int32).
-    XLA-level composition (outside Pallas): the tier-B sort runs as a
-    lax.sort between the plane phases.
+    XLA-level composition (outside Pallas): the tier-B sorts run as
+    lax.sorts between the plane phases.
     """
     v = phase0_words(block)
-    so = phase1_nearest_offset(v, n, W)
+    so = phase1_nearest_offset(v, n, W) if W else jnp.zeros_like(v)
     so8 = None
+    extra = ()
     if tier_b:
         ns = jnp.asarray(n, jnp.int32).reshape(1)
         so8 = tier_b_candidates(v.reshape(1, BLOCK), ns)
         so8 = so8.reshape(NROWS, ROW)
-    mlen, moff = phase2_lengths(so, n, so8)
+        so4a, so4b = tier_b4_candidates(v.reshape(1, BLOCK), ns)
+        extra = ((so4a.reshape(NROWS, ROW), 4),
+                 (so4b.reshape(NROWS, ROW), 4))
+    mlen, moff = phase2_lengths(so, n, so8, extra_planes=extra)
     is_start = phase3_parse(mlen)
     geo = phase4_geometry(mlen, moff, is_start, n)
     core = phase5_core(block, moff, geo)

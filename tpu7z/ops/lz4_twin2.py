@@ -176,6 +176,43 @@ def phase1b_sorted_candidates(v: np.ndarray, n: int) -> np.ndarray:
     return np.where(posi < max(n - TAIL_GUARD, 0), so8, 0)
 
 
+def phase1b4_sorted_candidates(v: np.ndarray, n: int):
+    """(so4a, so4b): offsets to the nearest / second-nearest previous
+    position with the same 4 bytes, from ONE sort keyed on the 4-byte
+    hash. Same scheme as phase1b (hash16<<16|pos keys, predecessor
+    probes with exact verification, unsort by pos<<16|off carrying the
+    second offset as a sort payload). Replaces the exhaustive tier-A
+    window: a verified nearest-4-byte candidate at ANY offset subsumes
+    the W-window scan (measured identical ratio with W=64 on top)."""
+    w0 = v.astype(np.uint32)
+    h16 = (w0 * HASH_C1) >> np.uint32(16)
+    pos = np.arange(BLOCK, dtype=np.uint32)
+    key = (h16 << np.uint32(16)) | pos
+    order = np.argsort(key)
+    skey = key[order]
+    sw0 = w0[order]
+    idx = np.arange(BLOCK)
+    outs = []
+    for k in (1, 2):
+        pk = shift_right(skey, k)
+        p0 = shift_right(sw0, k)
+        verify = (((pk >> np.uint32(16)) == (skey >> np.uint32(16)))
+                  & (p0 == sw0) & (idx >= k))
+        off = ((skey & np.uint32(0xFFFF)).astype(np.int64)
+               - (pk & np.uint32(0xFFFF)).astype(np.int64))
+        outs.append(np.where(verify, off, 0))
+    key2 = (((skey & np.uint32(0xFFFF)) << np.uint32(16))
+            | outs[0].astype(np.uint32))
+    order2 = np.argsort(key2)
+    key2s = key2[order2]
+    so4b = outs[1][order2]
+    so4a = (key2s & np.uint32(0xFFFF)).astype(np.int64)
+    posi = np.arange(BLOCK, dtype=np.int64)
+    lim = max(n - TAIL_GUARD, 0)
+    return (np.where(posi < lim, so4a, 0),
+            np.where(posi < lim, so4b, 0))
+
+
 def suffix_run(flag: np.ndarray, cap: int) -> np.ndarray:
     """run[i] = consecutive True count at i, i+1, ... (capped)."""
     run = flag.astype(np.int32)
@@ -198,17 +235,22 @@ def _tier_run_lengths(so: np.ndarray, kmin: int) -> np.ndarray:
     return np.where(sov, srun + kmin, 0)
 
 
-def phase2_lengths(so: np.ndarray, n: int, so8: np.ndarray | None = None):
-    """(mlen, moff) planes; tierA/tierB combined by longer run; mlen
-    capped at row end and block tail."""
+def phase2_lengths(so: np.ndarray, n: int, so8: np.ndarray | None = None,
+                   extra_planes=()):
+    """(mlen, moff) planes; candidate tiers combined by longer run
+    (earlier planes win ties); mlen capped at row end and block tail.
+    extra_planes: iterable of (so_plane, verified_kmin)."""
     pos = np.arange(BLOCK, dtype=np.int32)
     mlen = _tier_run_lengths(so, MIN_MATCH)
     moff = so.astype(np.int64)
+    planes = list(extra_planes)
     if so8 is not None:
-        mlen8 = _tier_run_lengths(so8, MIN_MATCH_B)
-        use8 = mlen8 > mlen
-        mlen = np.where(use8, mlen8, mlen)
-        moff = np.where(use8, so8.astype(np.int64), moff)
+        planes.append((so8, MIN_MATCH_B))
+    for sp, kmin in planes:
+        ml = _tier_run_lengths(sp, kmin)
+        use = ml > mlen
+        mlen = np.where(use, ml, mlen)
+        moff = np.where(use, sp.astype(np.int64), moff)
 
     limit = np.maximum(n - END_LITERALS - pos, 0)
     mlen = np.minimum(mlen, limit)
@@ -459,7 +501,11 @@ def encode_block(block: np.ndarray, n: int, W: int = W_DEFAULT,
     v = phase0_words(block)
     so = phase1_nearest_offset(v, n, W)
     so8 = phase1b_sorted_candidates(v, n) if tier_b else None
-    mlen, moff = phase2_lengths(so, n, so8)
+    extra = ()
+    if tier_b:
+        so4a, so4b = phase1b4_sorted_candidates(v, n)
+        extra = ((so4a, 4), (so4b, 4))
+    mlen, moff = phase2_lengths(so, n, so8, extra_planes=extra)
     is_start = phase3_parse(mlen)
     geo = phase4_geometry(block, mlen, moff, is_start, n)
     core = phase5_core(block, moff, geo, n)

@@ -85,7 +85,7 @@ def shard_compress_lz4(data: bytes, mesh: Mesh | None = None,
 
 
 def shard_compress_lz4_device(data: bytes, mesh: Mesh | None = None,
-                              W: int = 64, tier_b: bool = True) -> bytes:
+                              W: int = 0, tier_b: bool = True) -> bytes:
     """Device-tier frame-parallel LZ4: every device encodes its span of
     64 KB blocks with the fused plane pipeline, then an ordered
     all-gather assembles ONE standard .lz4 frame ON DEVICE — the MtCoder
