@@ -91,3 +91,25 @@ def test_xz_corruption_detected(corpus):
     c[40] ^= 0x7F
     with pytest.raises(CorruptError):
         xz.decompress(bytes(c))
+
+
+def test_native_optimal_encoder_ratio_and_interop():
+    """The native optimal-parse encoder (lzma_enc.cpp GetOptimum analog)
+    must beat the Python fast parse clearly and round-trip through both
+    decoders; stdlib lzma cross-checks the raw stream."""
+    import lzma as stdlzma
+    from tpu7z import native
+    from tpu7z.models.lzma import lzma2 as l2, encoder as enc
+    data = (b"the quick brown fox jumps over the lazy dog " * 400
+            + bytes(range(256)) * 40)
+    nat = native.lzma2_encode(data, level=9)
+    if nat is None:
+        import pytest
+        pytest.skip("native library not built")
+    assert l2.decompress(nat, len(data)) == data
+    # optimal parse must be <= 85% of the Python fast parse's size
+    py = l2.compress_chunks(data) + b"\x00"
+    assert len(nat) <= int(len(py) * 0.85), (len(nat), len(py))
+    # raw/alone path through stdlib
+    al = enc.compress_alone(data)
+    assert stdlzma.decompress(al, format=stdlzma.FORMAT_ALONE) == data

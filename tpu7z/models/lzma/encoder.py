@@ -252,7 +252,18 @@ def _parse_from(next_pos: np.ndarray, start: int, n: int) -> np.ndarray:
 
 def compress_raw(data: bytes, lc: int = 3, lp: int = 0, pb: int = 2,
                  end_marker: bool = False) -> tuple[bytes, bytes]:
-    """Raw LZMA1 stream. Returns (stream, props5)."""
+    """Raw LZMA1 stream. Returns (stream, props5). Hot path: the native
+    optimal-parse encoder (native/src/lzma_enc.cpp); Python fallback."""
+    if not end_marker:
+        from ... import native
+        nat = native.lzma_raw_encode(data, lc=lc, lp=lp, pb=pb)
+        if nat is not None:
+            stream, _props = nat
+            dict_size = max(1 << 16,
+                            1 << (max(1, len(data) - 1).bit_length()))
+            props = bytes([(pb * 5 + lp) * 9 + lc]) \
+                + dict_size.to_bytes(4, "little")
+            return stream, props
     enc = LzmaEncoder(lc, lp, pb)
     window = np.frombuffer(data, dtype=np.uint8)
     stream = enc.encode_chunk(window, 0, window.size, end_marker=end_marker)

@@ -96,9 +96,17 @@ def decompress(src: bytes, out_size: int | None = None) -> bytes:
 
 
 def compress_chunks(data: bytes, lc: int = 3, lp: int = 0, pb: int = 2,
-                    chunk_size: int = 1 << 20) -> bytes:
+                    chunk_size: int = 1 << 16) -> bytes:
     """Encode one LZMA2 chunk sequence (no trailing end marker): first
-    chunk resets dict+state+props, later chunks continue state."""
+    chunk resets dict+state+props, later chunks continue state.
+
+    Chunks are 64 KiB of input: the LZMA2 compressed-size field is u16,
+    so any chunk whose stream exceeds 64 KiB would have to be STORED —
+    with 64 KiB input that case coincides with comp >= usize, which is
+    stored anyway. (Larger chunks silently degraded mixed data to
+    stored chunks whenever 64 KiB < comp < usize.) Chunk boundaries
+    keep state and dictionary (reset=0), so the only cost is the
+    5-byte header + range-coder flush per chunk (~0.02%)."""
     window = np.frombuffer(data, dtype=np.uint8)
     n = window.size
     out = bytearray()
@@ -140,11 +148,21 @@ def compress_chunks(data: bytes, lc: int = 3, lp: int = 0, pb: int = 2,
 
 
 def compress(data: bytes, lc: int = 3, lp: int = 0, pb: int = 2,
-             chunk_size: int = 1 << 20, shard_size: int | None = None) -> bytes:
+             chunk_size: int = 1 << 16, shard_size: int | None = None,
+             level: int = 9) -> bytes:
     """Encode a complete LZMA2 stream. With shard_size, the input splits
     into dict-independent shards (each starts with a full reset chunk) —
     the MtCoder/Lzma2Enc block model (C/Lzma2Enc.c:313-320), compressible
-    in parallel across the mesh and concatenated in order."""
+    in parallel across the mesh and concatenated in order.
+
+    Hot path: the native C++ optimal-parse encoder
+    (native/src/lzma_enc.cpp, LzmaEnc GetOptimum analog); the Python
+    fast-parse encoder below is the fallback + spec twin."""
+    from ... import native
+    nat = native.lzma2_encode(data, level=level, lc=lc, lp=lp, pb=pb,
+                              shard_size=shard_size or 0)
+    if nat is not None:
+        return nat
     out = bytearray()
     if shard_size is None:
         out += compress_chunks(data, lc, lp, pb, chunk_size)

@@ -46,7 +46,7 @@ def _zstd_d(data, **kw):
 
 def _lzma2_c(data, level=5, **kw):
     from .lzma import lzma2
-    return lzma2.compress(data)
+    return lzma2.compress(data, level=level)
 
 
 def _lzma2_d(data, out_size=None, **kw):

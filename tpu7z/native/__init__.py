@@ -92,10 +92,53 @@ def _load():
             ctypes.POINTER(ctypes.c_void_p), ctypes.c_int]
         lib.tz_buf_free.restype = None
         lib.tz_buf_free.argtypes = [ctypes.c_void_p]
+        lib.tz_lzma2_encode.restype = ctypes.c_longlong
+        lib.tz_lzma2_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_uint]
+        lib.tz_lzma_raw_encode.restype = ctypes.c_longlong
+        lib.tz_lzma_raw_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
     except AttributeError:
-        pass  # stale .so without the zstd decoder; callers fall back
+        pass  # stale .so without newer entry points; callers fall back
     LIB = lib
     return lib
+
+
+def lzma2_encode(data: bytes, level: int = 9, lc: int = 3, lp: int = 0,
+                 pb: int = 2, shard_size: int = 0):
+    """Native LZMA2 stream encode (optimal parse); None if unavailable."""
+    import ctypes
+    lib = _load()
+    if lib is None or not hasattr(lib, "tz_lzma2_encode"):
+        return None
+    cap = len(data) + (len(data) >> 2) + 4096
+    buf = ctypes.create_string_buffer(cap)
+    r = lib.tz_lzma2_encode(data, len(data), buf, cap, int(level),
+                            lc, lp, pb, shard_size)
+    if r <= 0:
+        return None
+    return buf.raw[:r]
+
+
+def lzma_raw_encode(data: bytes, level: int = 9, lc: int = 3, lp: int = 0,
+                    pb: int = 2):
+    """Native raw LZMA1 encode -> (stream, props_byte); None if absent."""
+    import ctypes
+    lib = _load()
+    if lib is None or not hasattr(lib, "tz_lzma_raw_encode"):
+        return None
+    cap = len(data) + (len(data) >> 2) + 4096
+    buf = ctypes.create_string_buffer(cap)
+    props = ctypes.c_uint8(0)
+    r = lib.tz_lzma_raw_encode(data, len(data), buf, cap, int(level),
+                               lc, lp, pb, ctypes.byref(props))
+    if r < 0:
+        return None
+    return buf.raw[:r], props.value
 
 
 def zstd_encode(data: bytes, level: int = 3, checksum: bool = True):
