@@ -312,3 +312,30 @@ def test_arj_header_crc():
     arc[10] ^= 0xFF
     with pytest.raises(CorruptError):
         misc.read_arj(bytes(arc))
+
+
+# ---------------------------------------------------------------- apfs ---
+
+def test_apfs_roundtrip_and_cli():
+    from tpu7z.containers import apfs
+    files = {"a.txt": b"alpha beta gamma " * 50, "sub.bin": bytes(range(200)),
+             "empty": b""}
+    img = apfs.write_apfs(files)
+    assert apfs.read_apfs(img) == files
+    # corrupt object checksum detected
+    bad = bytearray(img)
+    bad[64] ^= 0x55
+    with pytest.raises(CorruptError):
+        apfs.read_apfs(bytes(bad))
+    # CLI sniff + list
+    import subprocess, sys, tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "disk.apfs")
+        open(p, "wb").write(img)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+        r = subprocess.run([sys.executable, "-m", "tpu7z.cli", "l", p],
+                           capture_output=True, env=env, timeout=120)
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert b"a.txt" in r.stdout

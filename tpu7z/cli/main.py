@@ -38,7 +38,7 @@ _EXT_TYPES = {
     ".fat": "fat", ".ntfs": "ntfs", ".udf": "udf", ".chm": "chm",
     ".qcow2": "qcow", ".qcow": "qcow", ".vdi": "vdi", ".vmdk": "vmdk",
     ".dmg": "dmg", ".hfs": "hfs",
-    ".vhdx": "vhdx", ".rar": "rar",
+    ".vhdx": "vhdx", ".rar": "rar", ".apfs": "apfs",
     # .img is deliberately absent: generic disk images (FAT, raw dd,
     # hybrid ISO) are routed by the 0xEF53-at-1080 content sniff instead
 }
@@ -149,6 +149,8 @@ def _sniff_type(path: str, data: bytes | None = None) -> str:
             return "fat"
         if len(data) > 512 and data[3:11] == b"NTFS    ":
             return "ntfs"
+        if data[32:36] == b"NXSB":
+            return "apfs"
         if _disk.is_gpt(data):
             return "gpt"
         if _disk.is_vhd(data):
@@ -513,6 +515,9 @@ def _open_archive(opts, path):
     if atype == "rar":
         from ..containers import rar
         return atype, rar.read_rar(data), None
+    if atype == "apfs":
+        from ..containers import apfs
+        return atype, apfs.read_apfs(data), None
     codec = get_codec(atype)
     name = os.path.basename(path or "stdin")
     for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz", ".Z", ".lz", ".br"):
