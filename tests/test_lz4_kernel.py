@@ -65,12 +65,13 @@ def test_twin_matches_plane_and_roundtrips(idx, plane_fn):
     assert got == twin
 
 
-def test_pallas_interpret_matches_twin():
+@pytest.mark.parametrize("idx", range(len(_patterns())))
+def test_pallas_interpret_matches_twin(idx):
     """The actual pallas_call pipeline (interpret mode on CPU) must
-    reproduce the twin byte-for-byte — the docstring contract of
-    ops/lz4_pallas.py."""
+    reproduce the twin byte-for-byte on EVERY adversarial pattern —
+    the docstring contract of ops/lz4_pallas.py."""
     from tpu7z.ops import lz4_pallas as LP
-    data, n = _patterns()[0]
+    data, n = _patterns()[idx]
     arr = np.frombuffer(data, np.uint8)
     twin = T.encode_block(arr.astype(np.int64), n, W=W)
     blocks = jnp.asarray(arr[None, :])

@@ -69,10 +69,23 @@ def stages_for(B):
             sh = jnp.concatenate(
                 [bu[:, k:], jnp.zeros((B, k), jnp.int32)], axis=1)
             w = w | (sh << (8 * k))
-        return P.tier_b_candidates(w, ns).reshape(B, P.NROWS, P.ROW)
+        so8 = P.tier_b_candidates(w, ns).reshape(B, P.NROWS, P.ROW)
+        so4a, so4b = P.tier_b4_candidates(w, ns)
+        return jnp.concatenate([so8, so4a.reshape(B, P.NROWS, P.ROW),
+                                so4b.reshape(B, P.NROWS, P.ROW)], axis=1)
+
+    @jax.jit
+    def tierb8_only(blocks, ns):
+        bu = blocks.reshape(B, P.BLOCK).astype(jnp.int32) & 0xFF
+        w = bu
+        for k in (1, 2, 3):
+            sh = jnp.concatenate(
+                [bu[:, k:], jnp.zeros((B, k), jnp.int32)], axis=1)
+            w = w | (sh << (8 * k))
+        return P.tier_b_candidates(w, ns)
 
     shp = dict(
-        b=(B, P.NROWS + 1, P.ROW), so8=(B, P.NROWS, P.ROW),
+        b=(B, P.NROWS + 1, P.ROW), so8=(B, 3 * P.NROWS, P.ROW),
         mm=(B, 2 * P.NROWS, P.ROW), st=(B, P.NROWS, P.ROW),
         gb=(B, LP._NB * P.NROWS, P.ROW), gc=(B, LP._NC * P.NROWS, P.ROW),
         cl=(B, 2 * P.P5_MID_ROWS, P.ROW), c=(B, P.CORE_ROWS, P.ROW),
@@ -100,13 +113,14 @@ def stages_for(B):
         b1=call(LP._kernel_b1, ["b", "gb"], "cl"),
         b2=call(LP._kernel_b2, ["cl"], "c"),
         c=call(LP._kernel_c, ["gc", "c"], "o"))
-    return blocks, ns, blocks3, tierb, fns
+    return blocks, ns, blocks3, (tierb, tierb8_only), fns
 
 
 def run(B):
-    blocks, ns, blocks3, tierb, fns = stages_for(B)
+    blocks, ns, blocks3, (tierb, tierb8_only), fns = stages_for(B)
     t = {}
-    t["a0_sort"], so8 = best_time(tierb, blocks, ns)
+    t["a0_sort8"], _ = best_time(tierb8_only, blocks, ns)
+    t["a0_sorts_all"], so8 = best_time(tierb, blocks, ns)
     t["a1_match"], mm = best_time(fns["a1"], blocks3, so8)
     t["a2_parse"], st = best_time(fns["a2"], mm)
     t["a3_geom"], (geob, geoc) = best_time(fns["a3"], blocks3, mm, st)
