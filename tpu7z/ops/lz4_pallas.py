@@ -127,10 +127,25 @@ def _kernel_b2(cl_ref, core_ref):
 def _kernel_c(geoc_ref, core_ref, out_ref):
     g = geoc_ref[0]
     geo = _unpack(g, _GEOC)
-    geo["long_run"] = geo["long_run"] > 0
-    geo["used"] = g[len(_GEOC) * P.NROWS, 0]
-    out, used = P.phase6_expand(core_ref[0], geo)
-    out_ref[0, : P.OUT_ROWS, :] = out.astype(jnp.int8)
+    lr = geo["long_run"]
+    geo["long_run"] = lr > 0
+    used = g[len(_GEOC) * P.NROWS, 0]
+    geo["used"] = used
+    has_gap = jnp.max(lr) > 0
+
+    # blocks without >= LONG_LIT literal runs (the common case) skip the
+    # expensive gather-matmul expansion: the core IS the output
+    @pl.when(has_gap)
+    def _():
+        out, _u = P.phase6_expand(core_ref[0], geo)
+        out_ref[0, : P.OUT_ROWS, :] = out.astype(jnp.int8)
+
+    @pl.when(jnp.logical_not(has_gap))
+    def _():
+        out_ref[0, : P.CORE_ROWS, :] = core_ref[0].astype(jnp.int8)
+        out_ref[0, P.CORE_ROWS: P.OUT_ROWS, :] = jnp.zeros(
+            (P.OUT_ROWS - P.CORE_ROWS, P.ROW), jnp.int8)
+
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, P.ROW), 1)
     used_row = (used >> (8 * jnp.minimum(lane, 3))) & 0xFF
     used_row = jnp.where(lane < 4, used_row, 0)

@@ -764,4 +764,18 @@ def encode_block_planes(block, n, W=W_DEFAULT, tier_b=True):
     is_start = phase3_parse(mlen)
     geo = phase4_geometry(mlen, moff, is_start, n)
     core = phase5_core(block, moff, geo)
-    return phase6_expand(core, geo)
+
+    # gap expansion is needed only when some literal run reaches the
+    # 255-extension regime (>= LONG_LIT); most blocks have none, and the
+    # expansion's row-gather matmuls + barrel rolls are the third most
+    # expensive stage (tools/profile_lz4_slopes.py)
+    has_gap = jnp.max(_i32(geo["long_run"])) > 0
+
+    def expand(_):
+        return phase6_expand(core, geo)
+
+    def passthrough(_):
+        pad = jnp.zeros((OUT_ROWS - CORE_ROWS, ROW), jnp.int32)
+        return jnp.concatenate([core, pad], axis=0), geo["used"]
+
+    return jax.lax.cond(has_gap, expand, passthrough, None)
