@@ -537,6 +537,32 @@ def cmd_extract(opts: Options, args, test_only=False):
     if not args and not opts.stdin:
         raise TpuzError("x: missing archive")
     path = args[0] if args else None
+
+    # bounded-memory streaming path (InBuffer/OutBuffer analog,
+    # utils/streamio.py): single-stream formats extract unit by unit
+    # from a memory-mapped input instead of materializing everything
+    if (path and not opts.stdin and not test_only and not opts.stdout
+            and opts.threads == 1):
+        from ..utils import streamio
+        stype = opts.type or _sniff_type(path, open(path, "rb").read(64))
+        if stype in streamio.STREAMABLE and not path.endswith(".001"):
+            name = os.path.basename(path)
+            for ext in (".zst", ".lz4", ".xz", ".bz2", ".gz"):
+                if name.endswith(ext):
+                    name = name[: -len(ext)]
+                    break
+            else:
+                name += ".out"
+            os.makedirs(opts.outdir, exist_ok=True)
+            dst = os.path.join(opts.outdir, name)
+            prog = PercentPrinter(os.path.getsize(path) * 3,
+                                  enabled=opts.progress)
+            with open(dst, "wb") as outf:
+                total = streamio.stream_extract(path, stype, outf, prog)
+            prog.finish()
+            print(f"extracted {name} ({total} bytes)")
+            return 0
+
     atype, files, _rd = _open_archive(opts, path)
     files = {k: v for k, v in files.items() if _name_selected(opts, k)}
     if test_only:
