@@ -94,3 +94,23 @@ def test_graft_entry_single():
 def test_graft_entry_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_distributed_single_process_noop():
+    """initialize() without coordinator env is a single-process no-op;
+    global_mesh still spans the (virtual) device list and the sharded
+    compressor runs on it (the multi-host path differs only in device
+    count — SURVEY §2.2 DCN story, parallel/distributed.py)."""
+    import jax
+
+    from tpu7z.parallel import distributed as dist
+    assert dist.initialize() is False
+    info = dist.process_info()
+    assert info["process_count"] == 1
+    assert info["global_devices"] == len(jax.devices())
+    mesh = dist.global_mesh()
+    from tpu7z.parallel.sharded import shard_compress_lz4_device
+    data = b"distributed mesh smoke " * 2000
+    out = shard_compress_lz4_device(data, mesh=mesh)
+    from tpu7z.models.lz4 import frame
+    assert frame.decompress(out) == data
