@@ -17,7 +17,9 @@ from __future__ import annotations
 import numpy as np
 
 from .decoder import (INSERT_BASE, INSERT_EXTRA, COPY_BASE, COPY_EXTRA,
-                      _CMD_CELLS)
+                      _CMD_CELLS, _CONTEXT_LUT)
+
+_CTX_LUT = np.frombuffer(_CONTEXT_LUT, np.uint8)
 
 # cell lookup: (insert_offset, copy_offset, implicit_dist0) -> cmd>>6
 _CELL_IDX = {cell: i for i, cell in enumerate(_CMD_CELLS)}
@@ -314,7 +316,70 @@ def _code_of(base_table: np.ndarray, v: int) -> int:
     return int(np.searchsorted(base_table, v, side="right")) - 1
 
 
-def _encode_metablock(data: bytes, a: int, b: int, seqs, ring: list):
+def _entropy_bits(h):
+    tot = h.sum()
+    if tot == 0:
+        return 0.0
+    nz = h[h > 0].astype(np.float64)
+    return float((nz * (np.log2(tot) - np.log2(nz))).sum())
+
+
+def _cluster_contexts(hist64, max_trees=6):
+    """Greedy pairwise merge of 64 per-context literal histograms into
+    <= max_trees clusters, stopping early when merging stops paying
+    (the reference's HistogramCombine idea, br_cluster.c, re-derived
+    as plain entropy-delta greedy merging). Returns (cmap64, ntrees,
+    cluster_hists)."""
+    hists = [hist64[c].copy() for c in range(64)]
+    members = [[c] for c in range(64)]
+    costs = [_entropy_bits(h) for h in hists]
+    # drop empty contexts into cluster 0 upfront
+    live = [i for i in range(64) if hists[i].sum() > 0] or [0]
+    dead = [i for i in range(64) if hists[i].sum() == 0 and i != live[0]]
+    for i in dead:
+        members[live[0]].extend(members[i])
+    hists = [hists[i] for i in live]
+    members = [members[i] for i in live]
+    costs = [costs[i] for i in live]
+    TABLE_BITS = 350.0  # rough serialized-table cost per extra tree
+    while len(hists) > 1:
+        best = None
+        for i in range(len(hists)):
+            for j in range(i + 1, len(hists)):
+                d = _entropy_bits(hists[i] + hists[j]) \
+                    - costs[i] - costs[j]
+                if best is None or d < best[0]:
+                    best = (d, i, j)
+        d, i, j = best
+        if len(hists) <= max_trees and d > TABLE_BITS:
+            break
+        hists[i] = hists[i] + hists[j]
+        costs[i] = _entropy_bits(hists[i])
+        members[i].extend(members[j])
+        del hists[j], members[j], costs[j]
+    cmap = [0] * 64
+    for t, mem in enumerate(members):
+        for c in mem:
+            cmap[c] = t
+    return cmap, len(hists), hists
+
+
+def _put_varlen_uint8(sink, v: int):
+    """Inverse of decoder._read_varlen_uint8."""
+    if v == 0:
+        sink.put(0, 1)
+        return
+    sink.put(1, 1)
+    if v == 1:
+        sink.put(0, 3)
+        return
+    n = v.bit_length() - 1
+    sink.put(n, 3)
+    sink.put(v - (1 << n), n)
+
+
+def _encode_metablock(data: bytes, a: int, b: int, seqs, ring: list,
+                      quality: int = 9):
     """Build one compressed meta-block body into a fresh sink.
     Mutates `ring` (committed only if the caller keeps this body)."""
     sink = _BitSink()
@@ -369,23 +434,69 @@ def _encode_metablock(data: bytes, a: int, b: int, seqs, ring: list):
     lit_bytes = s[a:b][lit_mask]
     np.add.at(lit_freq, lit_bytes, 1)
 
+    # ---- literal context modeling (quality >= 10): per-literal UTF8
+    # context (RFC 7932 7.1) clusters into a few trees; the context map
+    # routes each literal to its tree (reference: br_encode.c context
+    # modeling, re-derived via entropy clustering)
+    lit_pos = np.nonzero(lit_mask)[0] + a
+    use_ctx = quality >= 10 and lit_pos.size > 4096
+    tree_of = None
+    ntrees = 1
+    if use_ctx:
+        p1 = np.where(lit_pos >= 1, s[np.maximum(lit_pos - 1, 0)], 0)
+        p2 = np.where(lit_pos >= 2, s[np.maximum(lit_pos - 2, 0)], 0)
+        ctx = (_CTX_LUT[1024 + p1.astype(np.int64)]
+               | _CTX_LUT[1280 + p2.astype(np.int64)]).astype(np.int64)
+        hist64 = np.zeros((64, 256), np.int64)
+        np.add.at(hist64, (ctx, lit_bytes.astype(np.int64)), 1)
+        cmap, ntrees, cl_hists = _cluster_contexts(hist64)
+        if ntrees > 1:
+            cmap_arr = np.asarray(cmap, np.int64)
+            tree_full = np.zeros(mlen_mb, np.uint8)
+            tree_full[lit_pos - a] = cmap_arr[ctx].astype(np.uint8)
+        else:
+            use_ctx = False
+
     # ---- code tables
-    lit_lens = _huffman_lengths(lit_freq)
     cmd_lens = _huffman_lengths(cmd_freq)
     dst_lens = _huffman_lengths(dst_freq)
 
-    # ---- header: single block type per category, no context modeling
+    # ---- header: single block type per category
     for _cat in range(3):
         sink.put(0, 1)       # NBLTYPES = 1 (varlen-uint8 zero)
     sink.put(0, 2)           # NPOSTFIX = 0
     sink.put(0, 4)           # NDIRECT = 0
-    sink.put(0, 2)           # literal context mode (irrelevant, 1 tree)
-    sink.put(0, 1)           # NTREESL = 1
+    if use_ctx:
+        sink.put(2, 2)       # literal context mode: UTF8
+        _put_varlen_uint8(sink, ntrees - 1)   # NTREESL
+        # context map: no RLE, direct symbols, no IMTF
+        sink.put(0, 1)       # use_rle = 0
+        cm_freq = np.zeros(ntrees, np.int64)
+        np.add.at(cm_freq, np.asarray(cmap, np.int64), 1)
+        cm_lens = _huffman_lengths(cm_freq)
+        cm_elens = _emit_prefix_code(sink, cm_lens, cm_freq, ntrees)
+        cm_codes = _canonical_rev(cm_elens)
+        for v in cmap:
+            sink.put(int(cm_codes[v]), int(cm_elens[v]))
+        sink.put(0, 1)       # IMTF = 0
+    else:
+        sink.put(0, 2)       # literal context mode (irrelevant, 1 tree)
+        sink.put(0, 1)       # NTREESL = 1
     sink.put(0, 1)           # NTREESD = 1
-    lit_elens = _emit_prefix_code(sink, lit_lens, lit_freq, 256)
+    if use_ctx:
+        elens2d = np.zeros((ntrees, 256), np.int64)
+        codes2d = np.zeros((ntrees, 256), np.int64)
+        for t in range(ntrees):
+            hl = _huffman_lengths(cl_hists[t])
+            el = _emit_prefix_code(sink, hl, cl_hists[t], 256)
+            elens2d[t] = el
+            codes2d[t] = _canonical_rev(el)
+    else:
+        lit_lens = _huffman_lengths(lit_freq)
+        lit_elens = _emit_prefix_code(sink, lit_lens, lit_freq, 256)
+        lit_codes = _canonical_rev(lit_elens)
     cmd_elens = _emit_prefix_code(sink, cmd_lens, cmd_freq, 704)
     dst_elens = _emit_prefix_code(sink, dst_lens, dst_freq, 64)
-    lit_codes = _canonical_rev(lit_elens)
     cmd_codes = _canonical_rev(cmd_elens)
     dst_codes = _canonical_rev(dst_elens)
 
@@ -397,7 +508,11 @@ def _encode_metablock(data: bytes, a: int, b: int, seqs, ring: list):
         sink.put(cl_extra, cl_nb)
         if hi > lo:
             run = s[lo:hi]
-            sink.put_arrays(lit_codes[run], lit_elens[run])
+            if use_ctx:
+                tr = tree_full[lo - a:hi - a]
+                sink.put_arrays(codes2d[tr, run], elens2d[tr, run])
+            else:
+                sink.put_arrays(lit_codes[run], lit_elens[run])
         if dsym >= 0:
             sink.put(int(dst_codes[dsym]), int(dst_elens[dsym]))
             sink.put(d_extra, d_nb)
@@ -447,7 +562,7 @@ def compress(data: bytes, quality: int = 9) -> bytes:
             ring_snap = list(ring)
             body = _encode_metablock(data, pos, b,
                                      (mp[in_mb], ml[in_mb], mo[in_mb]),
-                                     ring)
+                                     ring, quality=quality)
             if (body.bit_length() + 7) // 8 >= chunk_len + 4:
                 ring[:] = ring_snap
                 body = None

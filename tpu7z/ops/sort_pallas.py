@@ -45,19 +45,22 @@ def _pos_plane():
 
 def _exchange(key, payloads, k: int, d_log: int):
     """One compare-exchange stage at static distance d = 1 << d_log
-    within ascending/descending runs of size 1 << k."""
+    within ascending/descending runs of size 1 << k. Integer-only bit
+    math: Mosaic rejects bool-vs-bool compares (i8->i1 truncation)."""
     d = 1 << d_log
     pos = _pos_plane()
     am_low = (pos & d) == 0
-    asc = ((pos >> k) & 1) == 0
 
     def xshift(x):
         return jnp.where(am_low, shiftl_flat(x, d), shiftr_flat(x, d))
 
     okey = xshift(key)
-    # keep own iff it already sits on the right side of the pair:
-    # an ascending pair wants the smaller key at the low index
-    own_wins = jnp.where(am_low == asc, key < okey, key > okey)
+    # keep own iff it already sits on the right side of the pair: an
+    # ascending pair wants the smaller key at the low index. flip = 1
+    # when this element is the pair's high slot XOR the run descends.
+    flip = ((pos >> k) ^ (pos >> d_log)) & 1
+    lt = (key < okey).astype(jnp.int32)
+    own_wins = (lt ^ flip) > 0
     nkey = jnp.where(own_wins, key, okey)
     nps = [jnp.where(own_wins, p, xshift(p)) for p in payloads]
     return nkey, nps
