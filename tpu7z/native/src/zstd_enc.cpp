@@ -855,7 +855,7 @@ static Params level_params(int level, size_t n) {
                             p.accel_shift = 12; p.ins_step = 1024; }
     else if (level <= 16) { p.hash_log = 20; p.depth = 64;  p.lazy = 2;
                             p.accel_shift = 14; p.ins_step = 4096; }
-    else if (level <= 19) { p.hash_log = 21; p.depth = 128; p.lazy = 2;
+    else if (level <= 19) { p.hash_log = 22; p.depth = 48;  p.lazy = 2;
                             p.accel_shift = 30; p.ins_step = 4096; }
     else                  { p.hash_log = 22; p.depth = 512; p.lazy = 2;
                             p.accel_shift = 30; p.ins_step = 4096; }
@@ -1343,7 +1343,7 @@ static void parse_block_optimal(const uint8_t* src, size_t n,
     // dup-heavy data per-position searches there are quadratic — the
     // role of the reference's sufficient_len immediate-encode + skip
     // (zstd_opt.c) and ZSTD_insertBt1's forward skip return.
-    constexpr uint32_t kLongImmediate = 512;
+    constexpr uint32_t kLongImmediate = 128;
     size_t gather_skip = 0;  // absolute pos: skip gathering below this
     for (size_t j = 0; j < blen; j++) {
         const Cell& cur = cells[j];
