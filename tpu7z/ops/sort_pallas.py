@@ -1,6 +1,13 @@
 """Bitonic sort as a pipeline of Pallas TPU kernels over (NROWS, ROW)
 planes.
 
+STATUS: interpret-verified, NOT integrated. On the axon remote Mosaic
+compiler every chunk kernel (even 4 unrolled stages) hangs the
+compile service (>30 min, no cache writes), so the matcher tiers keep
+jax.lax.sort for now; on a toolchain where these kernels compile, the
+expected win is ~1.5-2x on the sorts (57% of the device pipeline —
+see docs/PERFORMANCE.md round-5 notes).
+
 Replaces `jax.lax.sort` in the LZ4 matcher tiers (the profiled
 bottleneck: tools/profile_lz4_slopes.py shows the two XLA sorts at
 ~57% of the device pipeline). The network is the classic bitonic
@@ -32,7 +39,7 @@ LOGN = 16  # log2(BLOCK)
 # stage schedule: (k, d_log) for k in 1..16, d_log in k-1..0
 _STAGES = [(k, j) for k in range(1, LOGN + 1)
            for j in range(k - 1, -1, -1)]
-_N_CHUNKS = 8  # kernels; ~17 unrolled stages each
+_N_CHUNKS = 34  # kernels; 4 unrolled stages each (remote Mosaic compile stays fast)
 
 _COMPILER = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
