@@ -155,3 +155,37 @@ def test_ntfs_torn_record_rejected():
 def test_ntfs_bad_boot():
     with pytest.raises(CorruptError):
         ntfs.read_ntfs(b"\0" * 8192)
+
+
+def _attr_nonres_comp(atype: int, runs: bytes, vcns: int, real: int,
+                      cu_field: int = 4) -> bytes:
+    """Non-resident attribute with the compressed flag + compression
+    unit field (NtfsHandler.cpp compressed $DATA layout)."""
+    a = bytearray(_attr_nonres(atype, runs, vcns, real))
+    struct.pack_into("<H", a, 12, 0x0001)     # flags: compressed
+    struct.pack_into("<H", a, 34, cu_field)   # 2^4 = 16-cluster units
+    return bytes(a)
+
+
+def test_ntfs_compressed_attribute():
+    """A compressed $DATA attribute (LZNT1, 16-cluster units padded by
+    a sparse run) decodes; uses the reader's own lznt1 compressor for
+    the fixture, mirroring the DMG/HFS writer-fixture pattern."""
+    img, _big = _mk_volume()
+    img = bytearray(img + b"\0" * (16 * CB))
+    payload = (b"ntfs compressed payload line\n" * 2000)[: 3 * CB + 123]
+    comp = ntfs.lznt1_compress(payload.ljust(16 * CB, b"\0"))
+    nc = -(-len(comp) // CB)
+    assert nc < 16
+    data_lcn = 16  # appended clusters
+    img[data_lcn * CB:data_lcn * CB + len(comp)] = comp
+    # runlist: nc data clusters at LCN 16, then (16-nc) sparse
+    runs = bytes([0x11, nc, data_lcn]) + bytes([0x01, 16 - nc])
+    rec = _file_record([
+        _attr_resident(0x30, _fname(5, "packed.bin")),
+        _attr_nonres_comp(0x80, runs, 16, len(payload))])
+    # overwrite the hello.txt record (index 6) in place
+    mft_off = 2 * CB
+    img[mft_off + 6 * REC:mft_off + 7 * REC] = rec
+    files = ntfs.read_ntfs(bytes(img))
+    assert files["packed.bin"] == payload

@@ -3,7 +3,7 @@
 Behavioral reference: CPP/7zip/Archive/NtfsHandler.cpp — walks the MFT,
 applies update-sequence fixups to FILE records, reconstructs full paths
 from $FILE_NAME parent references, and extracts $DATA (resident and
-non-resident run lists, sparse runs read as zeros).  Compressed
+non-resident run lists, sparse runs read as zeros, LZNT1-compressed
 attributes are rejected with a clear error, like unsupported coders in
 the reference's extract path.
 """
@@ -35,6 +35,109 @@ def _fixup(rec: bytes, sector: int) -> bytes:
         if out[pos:pos + 2] != usn:
             raise CorruptError("ntfs: fixup mismatch (torn record)")
         out[pos:pos + 2] = rec[usa_off + 2 * k:usa_off + 2 * k + 2]
+    return bytes(out)
+
+
+def lznt1_decompress(src: bytes, out_size: int | None = None) -> bytes:
+    """LZNT1 (MS-XCA 2.5): 4 KiB chunks, u16 chunk headers, flag-byte
+    token groups, position-dependent offset/length split — the codec
+    behind NTFS compressed attributes (NtfsHandler.cpp decompression)."""
+    out = bytearray()
+    pos = 0
+    n = len(src)
+    while pos + 2 <= n:
+        hdr, = struct.unpack_from("<H", src, pos)
+        pos += 2
+        if hdr == 0:
+            break
+        csize = (hdr & 0xFFF) + 1
+        compressed = bool(hdr & 0x8000)
+        chunk = src[pos:pos + csize]
+        if len(chunk) != csize:
+            raise CorruptError("ntfs: truncated LZNT1 chunk")
+        pos += csize
+        if not compressed:
+            out.extend(chunk)
+            continue
+        base = len(out)
+        p = 0
+        while p < csize:
+            flags = chunk[p]
+            p += 1
+            for bit in range(8):
+                if p >= csize:
+                    break
+                if not (flags >> bit) & 1:
+                    out.append(chunk[p])
+                    p += 1
+                    continue
+                if p + 2 > csize:
+                    raise CorruptError("ntfs: truncated LZNT1 phrase")
+                tok, = struct.unpack_from("<H", chunk, p)
+                p += 2
+                cpos = len(out) - base
+                if cpos == 0:
+                    raise CorruptError("ntfs: LZNT1 phrase at chunk start")
+                k = max(4, (cpos - 1).bit_length())
+                length = (tok & ((1 << (16 - k)) - 1)) + 3
+                disp = (tok >> (16 - k)) + 1
+                if disp > cpos:
+                    raise CorruptError("ntfs: LZNT1 displacement")
+                s = len(out) - disp
+                for i in range(length):
+                    out.append(out[s + i])
+    if out_size is not None:
+        if len(out) > out_size:
+            out = out[:out_size]
+        else:
+            out.extend(b"\0" * (out_size - len(out)))
+    return bytes(out)
+
+
+def lznt1_compress(data: bytes) -> bytes:
+    """Greedy LZNT1 compressor (fixture/superset use; the reference
+    only decompresses). Emits compressed chunks when they win."""
+    out = bytearray()
+    for c0 in range(0, len(data), 4096):
+        chunk = data[c0:c0 + 4096]
+        body = bytearray()
+        i = 0
+        while i < len(chunk):
+            flags = 0
+            group = bytearray()
+            for bit in range(8):
+                if i >= len(chunk):
+                    break
+                k = max(4, (i - 1).bit_length()) if i else 4
+                maxlen = (1 << (16 - k)) - 1 + 3
+                best_l = 0
+                best_d = 0
+                if i >= 1:
+                    lim = min(len(chunk) - i, maxlen)
+                    for d in range(1, min(i, (1 << k)) + 1):
+                        l = 0
+                        while l < lim and chunk[i + l] == chunk[i - d + l]:
+                            l += 1
+                        if l > best_l:
+                            best_l, best_d = l, d
+                            if l >= lim:
+                                break
+                if best_l >= 3:
+                    tok = ((best_d - 1) << (16 - k)) | (best_l - 3)
+                    group += struct.pack("<H", tok)
+                    flags |= 1 << bit
+                    i += best_l
+                else:
+                    group.append(chunk[i])
+                    i += 1
+            body.append(flags)
+            body += group
+        if len(body) < len(chunk):
+            out += struct.pack("<H", 0x8000 | 0x3000 | (len(body) - 1))
+            out += body
+        else:
+            out += struct.pack("<H", 0x3000 | (len(chunk) - 1))
+            out += chunk
     return bytes(out)
 
 
@@ -126,13 +229,42 @@ class _Ntfs:
                 raise CorruptError("ntfs: resident value outside attr")
             return a[voff:voff + vlen]
         flags, = struct.unpack_from("<H", a, 12)
-        if flags & 0x0001:
-            raise CorruptError(
-                "ntfs: compressed attributes not supported")
         start_vcn, end_vcn = struct.unpack_from("<QQ", a, 16)
         run_off, = struct.unpack_from("<H", a, 32)
         real_size, = struct.unpack_from("<Q", a, 48)
         runs = _runlist(a[run_off:], end_vcn - start_vcn + 1)
+        if flags & 0x0001:
+            # compressed attribute (NtfsHandler.cpp compressed $DATA):
+            # data is stored in compression units of 2^cu clusters; a
+            # unit shorter than 2^cu data clusters (padded by a sparse
+            # run) holds an LZNT1 stream, a full unit is raw, an
+            # all-sparse unit is zeros.
+            cu_field, = struct.unpack_from("<H", a, 34)
+            cu = 1 << (cu_field if 0 < cu_field < 8 else 4)
+            unit_bytes = cu * self.cbytes
+            # expand runs to per-cluster lcn list in VCN order
+            clusters: list = []
+            for lcn, count in runs:
+                for k in range(count):
+                    clusters.append(None if lcn is None else lcn + k)
+            out = bytearray()
+            for u0 in range(0, len(clusters), cu):
+                unit = clusters[u0:u0 + cu]
+                datac = [c for c in unit if c is not None]
+                if not datac:
+                    out.extend(b"\0" * unit_bytes)
+                    continue
+                raw = bytearray()
+                for c in datac:
+                    off = c * self.cbytes
+                    if off + self.cbytes > len(self.raw):
+                        raise CorruptError("ntfs: run outside image")
+                    raw.extend(self.raw[off:off + self.cbytes])
+                if len(datac) == len(unit) and len(unit) == cu:
+                    out.extend(raw)  # stored uncompressed
+                else:
+                    out.extend(lznt1_decompress(bytes(raw), unit_bytes))
+            return bytes(out[:real_size])
         out = bytearray()
         for lcn, count in runs:
             nb = count * self.cbytes
