@@ -2,10 +2,10 @@
 
 Behavioral reference: CPP/7zip/Archive/NtfsHandler.cpp — walks the MFT,
 applies update-sequence fixups to FILE records, reconstructs full paths
-from $FILE_NAME parent references, and extracts $DATA (resident and
-non-resident run lists, sparse runs read as zeros, LZNT1-compressed
-attributes are rejected with a clear error, like unsupported coders in
-the reference's extract path.
+from $FILE_NAME parent references, and extracts $DATA: resident values,
+non-resident run lists (sparse runs read as zeros), and
+LZNT1-compressed attributes (16-cluster compression units padded by
+sparse runs).
 """
 
 from __future__ import annotations
