@@ -847,7 +847,7 @@ static Params level_params(int level, size_t n) {
     Params p;
     if (level <= 1)       { p.hash_log = 17; p.depth = 4;   p.lazy = 0;
                             p.accel_shift = 7;  p.ins_step = 32; }
-    else if (level <= 3)  { p.hash_log = 17; p.depth = 8;   p.lazy = 0;
+    else if (level <= 3)  { p.hash_log = 16; p.depth = 8;   p.lazy = 0;
                             p.accel_shift = 8;  p.ins_step = 64; }
     else if (level <= 6)  { p.hash_log = 18; p.depth = 32;  p.lazy = 1;
                             p.accel_shift = 10; p.ins_step = 256; }
