@@ -109,6 +109,10 @@ def test_parallel_zstd_measured_speedup():
 
     if native._load() is None:
         pytest.skip("native library not built")
+    import os
+    if os.cpu_count() < 2 or os.getloadavg()[0] > 1.5:
+        pytest.skip("needs an idle second core for a meaningful "
+                    "speedup measurement")
     rng = np.random.default_rng(5)
     # frames must be big enough that decode work dwarfs pool overhead
     piece = (b"parallel decode corpus " * 40000

@@ -29,7 +29,8 @@ def _encode_stream(method: str, data: bytes, level: int):
         return F.M_COPY, b"", data
     if method == "lzma2":
         from ...models.lzma import lzma2
-        return F.M_LZMA2, bytes([24]), lzma2.compress(data)
+        return F.M_LZMA2, bytes([24]), \
+            lzma2.compress(data, level=min(max(level, 1), 9))
     if method == "zstd":
         from ...models.zstd import compressor
         lvl = min(level, 22)
