@@ -113,11 +113,14 @@ def test_parallel_zstd_measured_speedup():
     if os.cpu_count() < 2 or os.getloadavg()[0] > 1.5:
         pytest.skip("needs an idle second core for a meaningful "
                     "speedup measurement")
+    # compute-bound frames: level-19 text decodes at a few hundred
+    # MB/s/core (sequence-execution bound), far from the memory-bus
+    # ceiling, so a second worker shows real scaling. (Level-1/3 frames
+    # decode near memcpy speed and saturate a 2-core memory bus alone.)
+    words = [b"alpha", b"beta", b"gamma", b"delta", b"epsilon", b"zeta"]
     rng = np.random.default_rng(5)
-    # frames must be big enough that decode work dwarfs pool overhead
-    piece = (b"parallel decode corpus " * 40000
-             + rng.integers(0, 256, 1 << 21, dtype=np.uint8).tobytes())
-    frames = [zf.compress(piece, level=3) for _ in range(6)]
+    piece = b" ".join(words[i] for i in rng.integers(0, 6, 400000))
+    frames = [zf.compress(piece, level=19) for _ in range(6)]
     blob = b"".join(frames)
 
     def best(threads, iters=5):
