@@ -777,6 +777,74 @@ struct Encoder {
         }
     }
 
+    // greedy window parse for the fast levels (no DP): longest of
+    // {rep matches, best BT candidate} with LzmaEnc-style rep
+    // preference; fills best_len/best_dist in the same encoding the
+    // emission loop consumes. Reps tracked exactly (greedy is
+    // sequential, unlike the DP's per-cell propagation).
+    void parse_window_greedy(const uint8_t* w, size_t end,
+                             size_t wstart, size_t wend) {
+        size_t W = wend - wstart;
+        best_len.assign(W, 0);
+        best_dist.assign(W, 0);
+        uint32_t rp[4];
+        memcpy(rp, reps, sizeof(rp));
+        const uint8_t* endp = w + end;
+        Cand cands[16];
+        size_t i = 0;
+        while (i < W) {
+            size_t pos = wstart + i;
+            // rep probes
+            size_t rep_best = 0;
+            unsigned rep_k = 0;
+            for (unsigned k = 0; k < 4; k++) {
+                uint32_t rd = rp[k];
+                if (pos < (size_t)rd + 1) continue;
+                const uint8_t* a = w + pos;
+                const uint8_t* b = a - rd - 1;
+                if (*a != *b || a + 1 >= endp || a[1] != b[1]) continue;
+                size_t ml = 2 + mlen_at(a + 2, b + 2, endp);
+                if (ml > rep_best) { rep_best = ml; rep_k = k; }
+            }
+            int nc = mf.insert_search(pos, end, depth, cands, 16);
+            size_t cl = nc ? cands[nc - 1].len : 0;
+            uint32_t cd = nc ? cands[nc - 1].dist : 0;
+            size_t take = 0;
+            bool use_rep = false;
+            if (rep_best >= 2 && rep_best + 1 >= cl) {
+                take = rep_best;
+                use_rep = true;
+            } else if (cl >= 3 || (cl == 2 && cd < 512)) {
+                take = cl;
+            }
+            if (take > (size_t)kMatchMaxLen) take = kMatchMaxLen;
+            if (wstart + i + take > wend) take = wend - wstart - i;
+            if (take < 2) {
+                i += 1;  // literal (best_len stays 0)
+                continue;
+            }
+            if (use_rep) {
+                best_len[i] = (uint32_t)take;
+                best_dist[i] = rep_k + 1;
+                if (rep_k) {
+                    uint32_t d = rp[rep_k];
+                    for (unsigned j = rep_k; j > 0; j--) rp[j] = rp[j - 1];
+                    rp[0] = d;
+                }
+            } else {
+                best_len[i] = (uint32_t)take;
+                best_dist[i] = cd + 4;
+                rp[3] = rp[2]; rp[2] = rp[1]; rp[1] = rp[0];
+                rp[0] = cd - 1;
+            }
+            // sparse-index the interior
+            for (size_t q = 1; q < take; q++)
+                if ((pos + q) % 4 == 0 || take - q <= 8)
+                    mf.insert_search(pos + q, end, 8, nullptr, 0);
+            i += take;
+        }
+    }
+
     // encode one chunk range with the DP parse
     std::vector<uint8_t> encode_chunk(const uint8_t* w, size_t start,
                                       size_t end) {
@@ -789,7 +857,10 @@ struct Encoder {
                                                        opt_window : 4096));
             lenp.build(probs.len_coder, nps);
             replenp.build(probs.rep_len_coder, nps);
-            parse_window(w, start, end, pos, wend, lenp, replenp);
+            if (opt_window)
+                parse_window(w, start, end, pos, wend, lenp, replenp);
+            else
+                parse_window_greedy(w, end, pos, wend);
             size_t W = wend - pos;
             size_t i = 0;
             while (i < W) {
