@@ -228,8 +228,6 @@ class ApfsReader:
         walk(resolve(root_tree_oid), 0)
 
         # assemble paths (parent chains) and file contents
-        children: dict = {}
-        names = {ROOT_DIR_INO_NUM: ""}
         info = {}
         for parent, name, fid, flags in drecs:
             info[fid] = (parent, name, flags)
@@ -243,7 +241,6 @@ class ApfsReader:
                 cur = parent
                 guard += 1
             return "/".join(reversed(parts))
-        del children, names
 
         files = {}
         for fid, (parent, name, flags) in info.items():
