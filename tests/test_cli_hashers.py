@@ -154,3 +154,16 @@ def test_percent_printer(capsys):
     p.finish()
     err = capsys.readouterr().err
     assert "50%" in err and "100%" in err
+
+
+def test_bench_verb_matrix(capsys):
+    """`b` covers codecs at multiple levels and hashers with CRC
+    validation (UI/Common/Bench.cpp analog); restricted runs work."""
+    import os
+    os.environ.setdefault("TPU7Z_SKIP", "")
+    assert cli_main(["b", "-md65536", "lz4"]) == 0
+    out = capsys.readouterr().out
+    assert "lz4" in out and "rating" in out
+    assert cli_main(["b", "-md65536", "xxh64"]) == 0
+    out = capsys.readouterr().out
+    assert "XXH64" in out

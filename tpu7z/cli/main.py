@@ -208,6 +208,9 @@ def _parse_switches(args):
                 opts.level = int(opts.props.pop("x"))
         elif a.startswith("-mx"):
             opts.level = int(a[3:].lstrip("="))
+        elif a.startswith("-md") and len(a) > 3 and a[3].isdigit():
+            from ..utils.methodprops import parse_size
+            opts.props["d"] = parse_size(a[3:])
         elif a.startswith("-mhe"):
             opts.encrypt_header = a[4:] in ("", "=on", "on")
         elif a.startswith("-mdev"):
@@ -698,7 +701,7 @@ def cmd_bench(opts: Options, args):
     -md{size} sets the buffer (default 4 MiB; -mx picks one level)."""
     from ..utils.corpus import make_corpus
     from ..ops.hashers import HASHERS
-    size = int(opts.props.get("d", 4 << 20)) if opts.props else 4 << 20
+    size = int(opts.props.get("d", 4 << 20) or (4 << 20))
     data = make_corpus(size)
     only = args[0].lower() if args else None
 
