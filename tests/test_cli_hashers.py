@@ -161,9 +161,9 @@ def test_bench_verb_matrix(capsys):
     validation (UI/Common/Bench.cpp analog); restricted runs work."""
     import os
     os.environ.setdefault("TPU7Z_SKIP", "")
-    assert cli_main(["b", "-md65536", "lz4"]) == 0
+    assert cli_main(["b", "-md64k", "lz4"]) == 0
     out = capsys.readouterr().out
     assert "lz4" in out and "rating" in out
-    assert cli_main(["b", "-md65536", "xxh64"]) == 0
+    assert cli_main(["b", "-md64k", "xxh64"]) == 0
     out = capsys.readouterr().out
     assert "XXH64" in out
