@@ -304,9 +304,15 @@ def phase3_parse(mlen):
 
     def body(_, carry):
         c, is_start = carry               # c: (NROWS, 1) int32
-        oh = lane == jnp.minimum(c, ROW - 1)
+        cc = jnp.minimum(c, ROW - 1)
+        oh = lane == cc
         cur = jnp.sum(mlen * oh, axis=1, keepdims=True)   # (NROWS,1)
-        take = (c < ROW) & (cur >= MIN_MATCH)
+        ohn = lane == jnp.minimum(cc + 1, ROW - 1)
+        nxt = jnp.sum(mlen * ohn, axis=1, keepdims=True)
+        # one-step lazy matching: defer when the next position's match
+        # is more than one byte longer (and is inside the row)
+        defer = (nxt > cur + 1) & (cc + 1 < ROW)
+        take = (c < ROW) & (cur >= MIN_MATCH) & jnp.logical_not(defer)
         is_start = is_start | (_i32(oh & take))
         c = jnp.where(take, c + cur, c + 1)
         return c, is_start

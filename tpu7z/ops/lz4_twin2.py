@@ -267,10 +267,13 @@ def phase2_lengths(so: np.ndarray, n: int, so8: np.ndarray | None = None,
 # ---------------------------------------------------------------------------
 
 def phase3_parse(mlen: np.ndarray) -> np.ndarray:
-    """is_start plane via a 128-step scan, one cursor lane per row.
+    """is_start plane via a 128-step scan, one cursor lane per row,
+    with one-step LAZY matching: when the next position's match is
+    more than one byte longer, emit a literal and start there instead
+    (LZ4_compress_generic's lazy heuristic recast for the cursor scan).
 
-    Kernel form: c is an (NROWS,) int vector; the lane read is a
-    one-hot multiply-reduce; the is_start write is a one-hot OR.
+    Kernel form: c is an (NROWS,) int vector; the lane reads are
+    one-hot multiply-reduces; the is_start write is a one-hot OR.
     """
     ml2 = mlen.reshape(NROWS, ROW)
     is_start = np.zeros((NROWS, ROW), bool)
@@ -279,15 +282,13 @@ def phase3_parse(mlen: np.ndarray) -> np.ndarray:
     for _ in range(ROW):
         cc = np.minimum(c, ROW - 1)
         cur = ml2[rows, cc]
-        take = (c < ROW) & (cur >= MIN_MATCH)
+        nxt = ml2[rows, np.minimum(cc + 1, ROW - 1)]
+        defer = (nxt > cur + 1) & (cc + 1 < ROW)
+        take = (c < ROW) & (cur >= MIN_MATCH) & ~defer
         is_start[rows[take], cc[take]] = True
         c = np.where(take, c + cur, c + 1)
-    return is_start.reshape(BLOCK)
+    return is_start.reshape(-1)
 
-
-# ---------------------------------------------------------------------------
-# phase 4: sequence geometry
-# ---------------------------------------------------------------------------
 
 def phase4_geometry(block, mlen, moff, is_start, n: int):
     pos = np.arange(BLOCK, dtype=np.int64)
